@@ -1,0 +1,365 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SQL-expressible operator inventory (SURVEY.md §2.7) + the
+  * training-data-pipeline ops (dedup / similarity / text analysis) over the
+  * driver tables. Every query here is declarative DataFrame API so Catalyst
+  * gets full pushdown/pruning; the per-doc extraction engine lives in
+  * graft.html / graft.algo and enters through [[extractDocuments]].
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship extraction placeholder until the arena pipeline lands:
+    * projects the documents table (rows > 0 at sf0.001). Replaced by the
+    * full spans pipeline in graft.spark.Pipeline.
+    */
+  def extractDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    d2_token_stats(spark, sfDir)
+
+  // ------------------------------------------------------- relational core
+
+  /** TPC-H Q1-style aggregation: map-side partial agg, single shuffle on
+    * two low-cardinality keys — scales linearly; AQE coalesces the tiny
+    * post-shuffle partitions at 100 TB.
+    */
+  def q1_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Star join: fact table joined to broadcast dims (nation/region are tiny
+    * at any SF; customer is broadcast-eligible well past sf1). No shuffle
+    * on the fact side except the final group-by.
+    */
+  def q2_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+
+  /** Global top-k: Spark's TakeOrderedAndProject — per-partition heap then
+    * k-merge on the driver, no full sort at scale.
+    */
+  def q3_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+
+  /** Window function: rank orders per customer; single hash-partition
+    * shuffle on the partition key.
+    */
+  def q4_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"), $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** TPC-H Q6-style selective scan: filter + projection both push into the
+    * parquet scan (PushedFilters visible in explain).
+    */
+  def q5_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter($"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Set operation: customers that have orders but none in 'F' status. */
+  def q6_setop(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select($"o_custkey")
+      .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Time-bucketed event aggregation (the streaming-shaped workload run in
+    * batch; the structured-streaming twin lives in graft.streaming).
+    */
+  def q7_events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day", $"event_type")
+
+  /** Left-semi join (existence): parts that ship, counted per brand.
+    * Broadcast the distinct key set when small; at 100 TB this becomes a
+    * shuffled semi-join Catalyst plans automatically.
+    */
+  def q8_semijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_semi")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy($"p_brand")
+
+  /** Anti-join (absence): customers with no finalized ('F') order. */
+  def q9_antijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+
+  // ------------------------------------------- training-data pipeline ops
+
+  /** Exact dedup: hash-groupBy on content digest. md5 is identical across
+    * engines, so the oracle can replay it; at 100 TB this is one shuffle on
+    * a 128-bit key with map-side distinct.
+    */
+  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("dup_count"),
+        min($"doc_id").as("keeper_id"))
+      .orderBy($"content_hash")
+
+  /** Token counting: whitespace tokenization, all inside whole-stage
+    * codegen (no UDF).
+    */
+  def d2_token_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_actual"),
+        size(filter(split(trim($"text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+
+  /** Quality scoring: length, punctuation density, digit density,
+    * mean token length — the boilerplate/quality heuristics a pretraining
+    * filter uses, as pure codegen'd expressions.
+    */
+  def d3_quality(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt).cast("double")
+    val punct = length(regexp_replace(txt, "[^.,!?;:]", "")).cast("double")
+    val digits = length(regexp_replace(txt, "[^0-9]", "")).cast("double")
+    val nTokens = size(filter(split(trim(txt), "\\s+"), x => x =!= "")).cast("double")
+    t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        length(txt).cast("long").as("n_chars"),
+        round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+        round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
+        round(nChars / greatest(nTokens, lit(1.0)), 2).as("mean_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID by stopword hits (n-gram heuristic): counts of padded
+    * high-frequency words per language, argmax with deterministic
+    * tie-break. Pure string builtins → replayable by the oracle.
+    */
+  def d4_lang_id(s: SparkSession, dir: String): DataFrame = {
+    def hits(c: Column, words: Seq[String]): Column =
+      words.map { w =>
+        val pat = s" $w "
+        ((length(c) - length(replace(c, lit(pat), lit("")))) / lit(pat.length)).cast("long")
+      }.reduce(_ + _)
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    t(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang",
+        hits(padded, Seq("the", "and", "is", "of", "to")).as("en_hits"),
+        hits(padded, Seq("der", "und", "die", "das", "ist")).as("de_hits"),
+        hits(padded, Seq("le", "la", "et", "les", "est")).as("fr_hits"))
+      .withColumn("lang_guess",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" > 0, "de")
+          .when($"fr_hits" > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: digest of whitespace-normalized lowercase text —
+    * the normalization step of fuzzy dedup, exact across engines.
+    */
+  def d5_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        md5(regexp_replace(lower($"text"), "\\s+", " ")).as("norm_fingerprint"))
+      .orderBy($"doc_id")
+
+  /** Brute-force cosine top-k over the embeddings table: the ANN baseline.
+    * Query set = vec_id < 5 crossed with all candidates; dot products via
+    * zip_with + aggregate (codegen'd higher-order functions, no UDF). At
+    * scale the query side is broadcast so the big side never shuffles.
+    */
+  def e1_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select(
+        $"query_id", $"vec_id",
+        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 3).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  import org.apache.spark.sql.ColumnName
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): ColumnName = new ColumnName(sc.s(args: _*))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_join" -> (q2_join _),
+    "q3_topk" -> (q3_topk _),
+    "q4_window" -> (q4_window _),
+    "q5_filter" -> (q5_filter _),
+    "q6_setop" -> (q6_setop _),
+    "q7_events" -> (q7_events _),
+    "q8_semijoin" -> (q8_semijoin _),
+    "q9_antijoin" -> (q9_antijoin _),
+    "d1_dedup_exact" -> (d1_dedup_exact _),
+    "d2_token_stats" -> (d2_token_stats _),
+    "d3_quality" -> (d3_quality _),
+    "d4_lang_id" -> (d4_lang_id _),
+    "d5_fingerprint" -> (d5_fingerprint _),
+    "e1_cosine_topk" -> (e1_cosine_topk _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q5_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q6_setop" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q7_events" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q8_semijoin" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS dup_count,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d3_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / greatest(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x <> '')) AS DOUBLE), 1.0), 2) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d4_lang_id" ->
+      s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits > 0 THEN 'fr'
+         |       ELSE 'unknown' END AS lang_guess
+         |FROM (SELECT doc_id, lang,
+         |  ${langHitsSql(Seq("the", "and", "is", "of", "to"))} AS en_hits,
+         |  ${langHitsSql(Seq("der", "und", "die", "das", "ist"))} AS de_hits,
+         |  ${langHitsSql(Seq("le", "la", "et", "les", "est"))} AS fr_hits
+         |FROM (SELECT doc_id, lang, concat(' ', lower(text), ' ') AS padded
+         |      FROM documents)) ORDER BY doc_id""".stripMargin,
+    "d5_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e1_cosine_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 3) AS cosine
+        |  FROM emb CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cosine, rk FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+        |  FROM scored) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+  )
+
+  /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */
+  private def langHitsSql(words: Seq[String]): String =
+    words.map { w =>
+      val pat = s" $w "
+      s"CAST((length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loading for the driver-provided test tables
+  * (`/root/testdata/sf*`; see TESTDATA.md). In production these scans are
+  * Iceberg DSv2 — the format string is the only difference (TableIO in
+  * SURVEY.md §7.1), so everything downstream is format-agnostic.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views so queries can use spark.sql. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
