@@ -1,0 +1,794 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming HTML parser: tokenizer + tree construction in one pass over
+  * the input string, building an arena [[Dom]]. From scratch; approximates
+  * the WHATWG tree-construction algorithm the way practical parsers
+  * (jsoup / SwiftSoup, which the reference delegates to) do:
+  *
+  *   - implied html/head/body, doctype + leading comments on the document
+  *   - void elements, raw-text (script/style/xmp/noembed/noframes),
+  *     RCDATA (title/textarea), scripting-disabled noscript (children
+  *     parsed as markup)
+  *   - auto-closing: p before block starts, li/dd/dt stacks, table
+  *     tbody/tr/td implication, heading/option/a recovery
+  *   - implied-end-tag generation on block end tags; special-category
+  *     barrier for stray end tags; `</p>` synthesizes an empty p;
+  *     `</br>` acts as `<br>`
+  *   - foster parenting of mis-nested table content
+  *   - character references per Entities (legacy no-semicolon included)
+  *
+  * Not implemented (observed divergence risk, grown fixture-by-fixture):
+  * the formatting-element adoption agency (misnested <b><i></b></i> is
+  * recovered by simple pop), template contents, frameset modes.
+  */
+object Parser {
+
+  private val voidTags = Set(
+    "area", "base", "basefont", "bgsound", "br", "col", "embed", "hr",
+    "img", "input", "keygen", "link", "meta", "param", "source", "track", "wbr")
+
+  private val rawTextTags = Set("script", "style", "xmp", "noembed", "noframes")
+  private val rcdataTags = Set("title", "textarea")
+
+  private val headTags = Set("base", "basefont", "bgsound", "link", "meta",
+    "title", "style", "script", "template", "noframes")
+
+  /** Start of these closes an open <p> in button scope. */
+  private val pClosers = Set(
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header",
+    "hgroup", "hr", "main", "menu", "nav", "ol", "p", "plaintext", "pre",
+    "section", "summary", "table", "ul", "listing", "xmp")
+
+  /** HTML "special" category (barrier for stray end-tag recovery). */
+  private val specialTags = Set(
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "section", "select", "source", "style", "summary",
+    "table", "tbody", "td", "template", "textarea", "tfoot", "th", "thead",
+    "title", "tr", "track", "ul", "wbr", "xmp")
+
+  /** Block end tags that run generate-implied-end-tags then pop. */
+  private val blockEndTags = Set(
+    "address", "article", "aside", "blockquote", "button", "center",
+    "details", "dialog", "dir", "div", "dl", "fieldset", "figcaption",
+    "figure", "footer", "header", "hgroup", "listing", "main", "menu",
+    "nav", "ol", "pre", "section", "summary", "ul", "form", "li", "dd",
+    "dt", "applet", "marquee", "object", "table", "tbody", "thead",
+    "tfoot", "tr", "td", "th", "caption", "select", "optgroup", "option")
+
+  private val impliedEndTags = Set("p", "li", "dd", "dt", "option", "optgroup", "rp", "rt")
+
+  private val buttonScopeBarrier = Set("html", "table", "td", "th",
+    "caption", "applet", "marquee", "object", "template", "button")
+
+  private val tableContext = Set("table", "tbody", "thead", "tfoot", "tr")
+  private val tableAllowed = Set("tbody", "thead", "tfoot", "tr", "td", "th",
+    "caption", "colgroup", "col", "script", "style", "template", "form")
+
+  def parse(input: String): Dom = {
+    new Parser(input).run()
+  }
+}
+
+private final class Parser(input: String) {
+  import Parser._
+  import Dom.isWhitespace
+
+  private val dom = new Dom(math.max(256, input.length / 64))
+  private val stack = new ArrayBuffer[Int](32)
+  private val len = input.length
+  private var pos = 0
+  /** 0=initial (before html), 1=in head, 2=in body */
+  private var mode = 0
+  private val sb = new java.lang.StringBuilder(256)
+
+  // attribute scratch
+  private val attrBuf = new ArrayBuffer[String](16)
+  private var tagSelfClosing = false
+
+  def run(): Dom = {
+    while (pos < len) {
+      val lt = input.indexOf('<', pos)
+      if (lt < 0) {
+        emitText(pos, len)
+        pos = len
+      } else {
+        if (lt > pos) emitText(pos, lt)
+        pos = lt
+        parseMarkup()
+      }
+    }
+    finish()
+    dom
+  }
+
+  // ========================================================== tokenizing
+
+  private def parseMarkup(): Unit = {
+    // pos points at '<'
+    if (pos + 1 >= len) { emitRawChar(); return }
+    val c = input.charAt(pos + 1)
+    if (c == '/') {
+      if (pos + 2 < len && isLetter(input.charAt(pos + 2))) parseEndTag()
+      else if (pos + 2 < len && input.charAt(pos + 2) == '>') pos += 3 // </> ignored
+      else bogusComment(pos + 2)
+    } else if (isLetter(c)) {
+      parseStartTag()
+    } else if (c == '!') {
+      if (input.startsWith("<!--", pos)) parseComment()
+      else if (len - pos >= 9 && input.regionMatches(true, pos + 2, "DOCTYPE", 0, 7)) parseDoctype()
+      else bogusComment(pos + 2)
+    } else if (c == '?') {
+      bogusComment(pos + 1)
+    } else {
+      emitRawChar()
+    }
+  }
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def emitRawChar(): Unit = {
+    appendTextToTree(String.valueOf(input.charAt(pos)))
+    pos += 1
+  }
+
+  private def parseComment(): Unit = {
+    val start = pos + 4
+    var end = input.indexOf("-->", start)
+    var close = 3
+    if (end < 0) { end = len; close = 0 }
+    insertComment(input.substring(start, end))
+    pos = end + close
+  }
+
+  private def bogusComment(contentStart: Int): Unit = {
+    var end = input.indexOf('>', contentStart)
+    if (end < 0) end = len
+    insertComment(input.substring(contentStart, end))
+    pos = math.min(end + 1, len)
+  }
+
+  private def parseDoctype(): Unit = {
+    var end = input.indexOf('>', pos + 2)
+    if (end < 0) end = len
+    val content = input.substring(pos + 2, end)
+    if (mode == 0) dom.appendChild(dom.document, dom.newDoctype(content.trim))
+    pos = math.min(end + 1, len)
+  }
+
+  /** Parse tag name starting at `from`; returns (name, posAfterName). */
+  private def readTagName(from: Int): (String, Int) = {
+    var i = from
+    while (i < len) {
+      val c = input.charAt(i)
+      if (isWhitespace(c) || c == '/' || c == '>') {
+        return (input.substring(from, i).toLowerCase, i)
+      }
+      i += 1
+    }
+    (input.substring(from).toLowerCase, len)
+  }
+
+  private def parseStartTag(): Unit = {
+    val (name, afterName) = readTagName(pos + 1)
+    pos = afterName
+    attrBuf.clear()
+    tagSelfClosing = false
+    parseAttributes()
+    // pos now after '>'
+    startTag(name)
+  }
+
+  private def parseEndTag(): Unit = {
+    val (name, afterName) = readTagName(pos + 2)
+    pos = afterName
+    // skip to '>'
+    var i = pos
+    while (i < len && input.charAt(i) != '>') i += 1
+    pos = math.min(i + 1, len)
+    endTag(name)
+  }
+
+  /** Parse attributes until '>'. Fills attrBuf / tagSelfClosing. */
+  private def parseAttributes(): Unit = {
+    while (pos < len) {
+      // skip whitespace and stray slashes
+      var c = input.charAt(pos)
+      while (pos < len && (isWhitespace(c) || c == '/')) {
+        if (c == '/') {
+          // candidate self-closing: only if '>' follows (possibly after ws)
+          var j = pos + 1
+          while (j < len && isWhitespace(input.charAt(j))) j += 1
+          if (j < len && input.charAt(j) == '>') { tagSelfClosing = true }
+        }
+        pos += 1
+        if (pos < len) c = input.charAt(pos)
+      }
+      if (pos >= len) return
+      if (c == '>') { pos += 1; return }
+      // attribute name
+      val nameStart = pos
+      while (pos < len && { val ch = input.charAt(pos)
+        !isWhitespace(ch) && ch != '=' && ch != '>' && ch != '/' }) pos += 1
+      val rawName = input.substring(nameStart, pos)
+      val name = rawName.toLowerCase
+      // skip ws
+      while (pos < len && isWhitespace(input.charAt(pos))) pos += 1
+      var value = ""
+      if (pos < len && input.charAt(pos) == '=') {
+        pos += 1
+        while (pos < len && isWhitespace(input.charAt(pos))) pos += 1
+        if (pos < len) {
+          val q = input.charAt(pos)
+          if (q == '"' || q == '\'') {
+            pos += 1
+            val vStart = pos
+            while (pos < len && input.charAt(pos) != q) pos += 1
+            value = decodeAttr(vStart, pos)
+            if (pos < len) pos += 1
+          } else {
+            val vStart = pos
+            while (pos < len && { val ch = input.charAt(pos)
+              !isWhitespace(ch) && ch != '>' }) pos += 1
+            value = decodeAttr(vStart, pos)
+          }
+        }
+      }
+      if (name.nonEmpty && !hasAttrName(name)) { attrBuf += name; attrBuf += value }
+    }
+  }
+
+  private def hasAttrName(name: String): Boolean = {
+    var i = 0
+    while (i < attrBuf.length) { if (attrBuf(i) == name) return true; i += 2 }
+    false
+  }
+
+  private def decodeAttr(from: Int, until: Int): String = {
+    var i = from
+    var hasAmp = false
+    while (i < until && !hasAmp) { if (input.charAt(i) == '&') hasAmp = true; i += 1 }
+    if (!hasAmp) return input.substring(from, until)
+    sb.setLength(0)
+    Entities.decode(input, from, until, sb)
+    sb.toString
+  }
+
+  private def emitText(from: Int, until: Int): Unit = {
+    var i = from
+    var hasAmp = false
+    while (i < until && !hasAmp) { if (input.charAt(i) == '&') hasAmp = true; i += 1 }
+    val s = if (hasAmp) {
+      sb.setLength(0)
+      Entities.decode(input, from, until, sb)
+      sb.toString
+    } else input.substring(from, until)
+    appendTextToTree(s)
+  }
+
+  /** Consume raw text until the matching close tag; returns content. */
+  private def consumeRawText(tagName: String): String = {
+    val needle = "</" + tagName
+    var i = pos
+    while (true) {
+      val idx = indexOfIgnoreCase(input, needle, i)
+      if (idx < 0) {
+        val content = input.substring(pos)
+        pos = len
+        return content
+      }
+      val after = idx + needle.length
+      if (after >= len) {
+        val content = input.substring(pos, idx)
+        pos = len
+        return content
+      }
+      val c = input.charAt(after)
+      if (isWhitespace(c) || c == '>' || c == '/') {
+        val content = input.substring(pos, idx)
+        // skip past the end tag's '>'
+        var j = after
+        while (j < len && input.charAt(j) != '>') j += 1
+        pos = math.min(j + 1, len)
+        return content
+      }
+      i = idx + 1
+    }
+    "" // unreachable
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val first = needle.charAt(0)
+    var i = from
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      if (hay.charAt(i) == first && hay.regionMatches(true, i, needle, 0, needle.length))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // ====================================================== tree building
+
+  private def ensureHtml(): Unit = {
+    if (dom.htmlEl == -1) {
+      val html = dom.newElement("html")
+      dom.appendChild(dom.document, html)
+      dom.htmlEl = html
+      stack += html
+    }
+  }
+
+  private def ensureHead(): Unit = {
+    ensureHtml()
+    if (dom.headEl == -1) {
+      val head = dom.newElement("head")
+      dom.appendChild(dom.htmlEl, head)
+      dom.headEl = head
+    }
+  }
+
+  private def ensureBody(): Unit = {
+    ensureHead()
+    if (dom.bodyEl == -1) {
+      val body = dom.newElement("body")
+      dom.appendChild(dom.htmlEl, body)
+      dom.bodyEl = body
+      // reset stack to [html, body]
+      stack.clear()
+      stack += dom.htmlEl
+      stack += body
+    }
+    mode = 2
+  }
+
+  private def current: Int = if (stack.isEmpty) { ensureBody(); stack.last } else stack.last
+
+  private def attrArray(): Array[String] =
+    if (attrBuf.isEmpty) null else attrBuf.toArray
+
+  private def insertComment(s: String): Unit = {
+    val c = dom.newComment(s)
+    mode match {
+      case 0 => dom.appendChild(if (dom.htmlEl == -1) dom.document else currentTarget(), c)
+      case 1 => dom.appendChild(currentTarget(), c)
+      case _ => appendNode(c, fosterOk = false)
+    }
+  }
+
+  private def currentTarget(): Int =
+    if (stack.nonEmpty) stack.last
+    else if (dom.headEl != -1 && mode == 1) dom.headEl
+    else if (dom.htmlEl != -1) dom.htmlEl
+    else dom.document
+
+  private def appendTextToTree(s: String): Unit = {
+    if (mode < 2) {
+      if (isAllWhitespace(s)) {
+        // whitespace before body: keep inside head if open, else drop
+        if (mode == 1 && stack.nonEmpty) dom.appendChild(stack.last, dom.newText(s))
+        return
+      }
+      ensureBody()
+    }
+    var str = s
+    val cur = current
+    // spec: ignore newline immediately after <pre>/<textarea>/<listing>
+    if (dom.firstChild(cur) == -1 && (dom.tag(cur) == "pre" || dom.tag(cur) == "listing")
+        && str.nonEmpty && str.charAt(0) == '\n')
+      str = str.substring(1)
+    if (str.isEmpty) return
+    val t = dom.newText(str)
+    appendNode(t, fosterOk = !isAllWhitespace(str))
+  }
+
+  private def isAllWhitespace(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (!isWhitespace(s.charAt(i))) return false; i += 1 }
+    true
+  }
+
+  /** Append node at the current position with foster-parenting when the
+    * current node is table context and the content isn't table-legal.
+    */
+  private def appendNode(id: Int, fosterOk: Boolean): Unit = {
+    val cur = current
+    if (fosterOk && dom.kind(cur) == Dom.Element && tableContext.contains(dom.tag(cur))) {
+      // foster parent: insert before the nearest table in the stack
+      var i = stack.length - 1
+      while (i >= 0) {
+        if (dom.tag(stack(i)) == "table") {
+          val table = stack(i)
+          if (dom.parent(table) != -1) { dom.insertBefore(table, id); return }
+          else { dom.appendChild(cur, id); return }
+        }
+        i -= 1
+      }
+      dom.appendChild(cur, id)
+    } else dom.appendChild(cur, id)
+  }
+
+  // -------------------------------------------------------- scope checks
+
+  private def hasInScope(tagName: String, barrier: Set[String]): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val t = dom.tag(stack(i))
+      if (t == tagName) return true
+      if (barrier.contains(t)) return false
+      i -= 1
+    }
+    false
+  }
+
+  private def generateImpliedEndTags(except: String = null): Unit = {
+    while (stack.nonEmpty) {
+      val t = dom.tag(stack.last)
+      if (impliedEndTags.contains(t) && t != except) stack.remove(stack.length - 1)
+      else return
+    }
+  }
+
+  /** Pop stack until tagName popped (tagName assumed present). */
+  private def popUntil(tagName: String): Unit = {
+    while (stack.nonEmpty) {
+      val top = stack.remove(stack.length - 1)
+      if (dom.tag(top) == tagName) return
+    }
+  }
+
+  private def closePInButtonScope(): Unit = {
+    if (hasInScope("p", buttonScopeBarrier)) {
+      generateImpliedEndTags("p")
+      popUntil("p")
+    }
+  }
+
+  // ---------------------------------------------------------- start tags
+
+  private def startTag(name: String): Unit = {
+    name match {
+      case "html" =>
+        if (dom.htmlEl == -1) {
+          ensureHtml()
+          dom.attrs(dom.htmlEl) = attrArray()
+        } else if (dom.attrs(dom.htmlEl) == null) {
+          dom.attrs(dom.htmlEl) = attrArray()
+        }
+        if (mode == 0) mode = 1
+        return
+      case "head" =>
+        if (dom.headEl == -1) {
+          ensureHead()
+          dom.attrs(dom.headEl) = attrArray()
+          if (mode == 0) mode = 1
+          stack += dom.headEl
+        }
+        return
+      case "body" =>
+        if (dom.bodyEl == -1) {
+          ensureBody()
+          dom.attrs(dom.bodyEl) = attrArray()
+        } else {
+          ensureBody()
+          // merge attrs onto existing body (spec)
+          var i = 0
+          while (i < attrBuf.length) {
+            if (dom.attr(dom.bodyEl, attrBuf(i)) == null)
+              dom.setAttr(dom.bodyEl, attrBuf(i), attrBuf(i + 1))
+            i += 2
+          }
+        }
+        return
+      case "frameset" | "frame" =>
+        // no frameset support: ignore the tags, content parses through
+        return
+      case _ =>
+    }
+
+    if (mode < 2) {
+      if (headTags.contains(name) || (name == "noscript" && mode <= 1)) {
+        ensureHead()
+        if (mode == 0) mode = 1
+        if (stack.isEmpty || stack.last == dom.htmlEl) {
+          // operate inside head
+          val el = insertElementInto(dom.headEl, name)
+          handleSpecialContent(el, name)
+          return
+        } else {
+          val el = insertElementInto(stack.last, name)
+          handleSpecialContent(el, name)
+          return
+        }
+      } else {
+        // anything else ends the head
+        if (dom.headEl != -1 && stack.nonEmpty && stack.last == dom.headEl)
+          stack.remove(stack.length - 1)
+        ensureBody()
+      }
+    }
+
+    // ---- in body ----
+    if (pClosers.contains(name)) closePInButtonScope()
+
+    name match {
+      case "li" => closeListItem("li", Set("li"))
+      case "dd" | "dt" => closeListItem(name, Set("dd", "dt"))
+      case "option" | "optgroup" =>
+        if (dom.tag(current) == "option") stack.remove(stack.length - 1)
+        if (name == "optgroup" && stack.nonEmpty && dom.tag(current) == "optgroup")
+          stack.remove(stack.length - 1)
+      case "a" =>
+        if (hasInScope("a", buttonScopeBarrier)) {
+          generateImpliedEndTags()
+          if (hasInScope("a", buttonScopeBarrier)) popUntil("a")
+        }
+      case "button" =>
+        if (hasInScope("button", buttonScopeBarrier)) {
+          generateImpliedEndTags()
+          popUntil("button")
+        }
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        val t = dom.tag(current)
+        if (t == "h1" || t == "h2" || t == "h3" || t == "h4" || t == "h5" || t == "h6")
+          stack.remove(stack.length - 1)
+      case "tr" | "td" | "th" | "tbody" | "thead" | "tfoot" | "caption" | "colgroup" | "col" =>
+        prepareTableInsertion(name)
+      case "select" =>
+        // nothing special beyond p closing
+      case "nobr" | "b" | "i" | "em" | "strong" | "u" | "small" | "s" |
+           "strike" | "big" | "tt" | "font" | "code" =>
+        // formatting elements: plain insertion (no adoption agency)
+      case "image" =>
+        // legacy: <image> → <img>
+        insertLeaf("img")
+        return
+      case _ =>
+    }
+
+    if (voidTags.contains(name)) {
+      insertLeaf(name)
+      if (name == "base" && dom.baseHref == null) {
+        val href = attrValue("href")
+        if (href != null) dom.baseHref = href
+      }
+      return
+    }
+
+    if (rawTextTags.contains(name)) {
+      val el = insertElement(name)
+      if (!tagSelfClosing) {
+        val content = consumeRawText(name)
+        if (content.nonEmpty) dom.appendChild(el, dom.newData(content))
+      }
+      stack.remove(stack.length - 1)
+      return
+    }
+    if (rcdataTags.contains(name)) {
+      val el = insertElement(name)
+      if (!tagSelfClosing) {
+        var content = Entities.decode(consumeRawText(name))
+        if (name == "textarea" && content.nonEmpty && content.charAt(0) == '\n')
+          content = content.substring(1)
+        if (content.nonEmpty) dom.appendChild(el, dom.newText(content))
+      }
+      stack.remove(stack.length - 1)
+      return
+    }
+
+    val el = insertElement(name)
+    if (tagSelfClosing) stack.remove(stack.length - 1)
+    el
+  }
+
+  private def attrValue(name: String): String = {
+    var i = 0
+    while (i < attrBuf.length) {
+      if (attrBuf(i) == name) return attrBuf(i + 1)
+      i += 2
+    }
+    null
+  }
+
+  /** li/dd/dt auto-close: walk stack from top, close a matching open item;
+    * stop at special elements other than address/div/p.
+    */
+  private def closeListItem(name: String, closeSet: Set[String]): Unit = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val t = dom.tag(stack(i))
+      if (closeSet.contains(t)) {
+        generateImpliedEndTags(t)
+        popUntil(t)
+        return
+      }
+      if (specialTags.contains(t) && t != "address" && t != "div" && t != "p") return
+      i -= 1
+    }
+  }
+
+  /** Implied table structure: tbody for tr, tr for td/th; close open cells/rows. */
+  private def prepareTableInsertion(name: String): Unit = {
+    if (!hasInScope("table", Set("html"))) return // stray: insert as generic element
+    name match {
+      case "tr" =>
+        // close open cell + row
+        if (hasInScope("td", Set("table")) ) { generateImpliedEndTags(); popUntil("td") }
+        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (hasInScope("tr", Set("table"))) popUntil("tr")
+        if (dom.tag(current) == "table") insertImplied("tbody")
+      case "td" | "th" =>
+        if (hasInScope("td", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("td") }
+        else if (hasInScope("th", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (!hasInScope("tr", Set("table")) && hasInScope("table", Set("html"))) {
+          if (dom.tag(current) == "table") insertImplied("tbody")
+          if (dom.tag(current) == "tbody" || dom.tag(current) == "thead" || dom.tag(current) == "tfoot")
+            insertImplied("tr")
+        }
+      case "tbody" | "thead" | "tfoot" | "caption" | "colgroup" =>
+        if (hasInScope("td", Set("table"))) { generateImpliedEndTags(); popUntil("td") }
+        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (hasInScope("tr", Set("table"))) popUntil("tr")
+        if (hasInScope("tbody", Set("table"))) popUntil("tbody")
+        else if (hasInScope("thead", Set("table"))) popUntil("thead")
+        else if (hasInScope("tfoot", Set("table"))) popUntil("tfoot")
+      case _ =>
+    }
+  }
+
+  /** Insert an implied structural element (tbody/tr): no attrs, no foster. */
+  private def insertImplied(name: String): Int = {
+    val el = dom.newElement(name)
+    dom.appendChild(current, el)
+    stack += el
+    el
+  }
+
+  private def insertElementInto(parent: Int, name: String): Int = {
+    val el = dom.newElement(name)
+    dom.attrs(el) = attrArray()
+    dom.appendChild(parent, el)
+    if (voidTags.contains(name)) {
+      if (name == "base" && dom.baseHref == null) {
+        val href = dom.attr(el, "href")
+        if (href != null) dom.baseHref = href
+      }
+      return el
+    }
+    if (rawTextTags.contains(name)) {
+      if (!tagSelfClosing) {
+        val content = consumeRawText(name)
+        if (content.nonEmpty) dom.appendChild(el, dom.newData(content))
+      }
+      return el
+    }
+    if (rcdataTags.contains(name)) {
+      if (!tagSelfClosing) {
+        val content = Entities.decode(consumeRawText(name))
+        if (content.nonEmpty) dom.appendChild(el, dom.newText(content))
+      }
+      return el
+    }
+    // container element in head (e.g. noscript): push
+    if (!tagSelfClosing) stack += el
+    el
+  }
+
+  private def handleSpecialContent(el: Int, name: String): Unit = ()
+
+  private def insertElement(name: String): Int = {
+    val el = dom.newElement(name)
+    dom.attrs(el) = attrArray()
+    appendNode(el, fosterOk = !tableAllowed.contains(name) && !tableContext.contains(name) && name != "table")
+    stack += el
+    el
+  }
+
+  private def insertLeaf(name: String): Int = {
+    val el = dom.newElement(name)
+    dom.attrs(el) = attrArray()
+    appendNode(el, fosterOk = true)
+    el
+  }
+
+  // ------------------------------------------------------------ end tags
+
+  private def endTag(name: String): Unit = {
+    if (mode < 2) {
+      name match {
+        case "head" =>
+          if (dom.headEl != -1 && stack.nonEmpty && stack.last == dom.headEl)
+            stack.remove(stack.length - 1)
+          return
+        case "html" | "body" =>
+          ensureBody()
+          return
+        case "noscript" | "title" | "style" | "script" | "template" | "noframes" =>
+          var i = stack.length - 1
+          while (i >= 0) {
+            if (dom.tag(stack(i)) == name) {
+              while (stack.length > i) stack.remove(stack.length - 1)
+              return
+            }
+            i -= 1
+          }
+          return
+        case _ =>
+          ensureBody()
+      }
+    }
+
+    name match {
+      case "p" =>
+        if (hasInScope("p", buttonScopeBarrier)) {
+          generateImpliedEndTags("p")
+          popUntil("p")
+        } else {
+          // spec: synthesize an empty <p>
+          val el = dom.newElement("p")
+          appendNode(el, fosterOk = true)
+        }
+      case "br" =>
+        insertLeafNoAttrs("br")
+      case "body" | "html" =>
+        // leave stack; trailing content still goes to body
+        ()
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        val hs = Set("h1", "h2", "h3", "h4", "h5", "h6")
+        var i = stack.length - 1
+        var found = -1
+        while (i >= 0 && found == -1) {
+          if (hs.contains(dom.tag(stack(i)))) found = i
+          else if (buttonScopeBarrier.contains(dom.tag(stack(i)))) i = -1
+          i -= 1
+        }
+        if (found >= 0) {
+          generateImpliedEndTags()
+          while (stack.length > found) stack.remove(stack.length - 1)
+        }
+      case _ if blockEndTags.contains(name) =>
+        if (hasInScope(name, Set("html"))) {
+          generateImpliedEndTags(name)
+          popUntil(name)
+        }
+      case _ =>
+        // any other end tag: walk from top; match → pop to it; special barrier → ignore
+        var i = stack.length - 1
+        while (i >= 0) {
+          val t = dom.tag(stack(i))
+          if (t == name) {
+            generateImpliedEndTags(name)
+            // find again (implied pops may have shifted)
+            var j = stack.length - 1
+            while (j >= 0 && dom.tag(stack(j)) != name) j -= 1
+            if (j >= 0) while (stack.length > j) stack.remove(stack.length - 1)
+            return
+          }
+          if (specialTags.contains(t)) return
+          i -= 1
+        }
+    }
+  }
+
+  private def insertLeafNoAttrs(name: String): Int = {
+    val el = dom.newElement(name)
+    appendNode(el, fosterOk = true)
+    el
+  }
+
+  private def finish(): Unit = {
+    ensureBody()
+  }
+}
