@@ -1,0 +1,243 @@
+package graft.algo
+
+import graft.html.{Dom, Select}
+import scala.collection.mutable.ArrayBuffer
+
+/** Shared per-node predicates and measurements used by extraction and
+  * cleanup. Behavior anchors: Mozilla Readability.js helpers as mirrored by
+  * the reference (`Sources/Readability/Internal/DOMTraversal.swift`,
+  * `NodeScoring.swift`).
+  */
+object DomOps {
+
+  import Config.charLen
+
+  /** jsoup-style normalized text of the subtree. */
+  def innerText(dom: Dom, id: Int, normalizeSpaces: Boolean = true): String = {
+    val raw = dom.textContent(id)
+    if (normalizeSpaces) Dom.normalizeWhitespace(raw) else raw.trim
+  }
+
+  def textLength(dom: Dom, id: Int): Int = charLen(innerText(dom, id))
+
+  /** Count comma-like characters (Readability.js _getCharCount analog with
+    * the extended comma set, `ContentExtractor.swift:646-656`).
+    */
+  def commaCount(s: String): Int = {
+    var c = 0
+    val m = Config.commas.matcher(s)
+    while (m.find()) c += 1
+    c
+  }
+
+  /** Link density with 0.3 coefficient for in-page hash links
+    * (`NodeScoring.swift:142-159`).
+    */
+  def linkDensity(dom: Dom, id: Int): Double = {
+    val total = textLength(dom, id)
+    if (total == 0) return 0.0
+    var linkLen = 0.0
+    val links = dom.getElementsByTag(id, "a")
+    var i = 0
+    while (i < links.length) {
+      val a = links(i)
+      val href = dom.attr(a, "href")
+      val coeff = if (href != null && Config.hashUrl.matcher(href).find()) 0.3 else 1.0
+      linkLen += textLength(dom, a) * coeff
+      i += 1
+    }
+    linkLen / total
+  }
+
+  /** Class/id pattern weight (`NodeScoring.swift:167-200`). */
+  def classWeight(dom: Dom, id: Int, weightClasses: Boolean): Double = {
+    if (!weightClasses) return 0.0
+    var weight = 0.0
+    val cls = dom.className(id)
+    if (cls.nonEmpty) {
+      if (Config.negative.matcher(cls).find()) weight += Config.ClassWeightNegative
+      if (Config.positive.matcher(cls).find()) weight += Config.ClassWeightPositive
+    }
+    val nid = dom.idAttr(id)
+    if (nid.nonEmpty) {
+      if (Config.negative.matcher(nid).find()) weight += Config.ClassWeightNegative
+      if (Config.positive.matcher(nid).find()) weight += Config.ClassWeightPositive
+    }
+    weight
+  }
+
+  def isPhrasingContent(dom: Dom, id: Int): Boolean = {
+    val k = dom.kind(id)
+    if (k == Dom.Text) return true
+    if (k != Dom.Element) return false
+    val t = dom.tag(id)
+    if (Config.phrasingElems.contains(t)) return true
+    if (t == "a" || t == "del" || t == "ins") {
+      var c = dom.firstChild(id)
+      while (c != -1) {
+        if (!isPhrasingContent(dom, c)) return false
+        c = dom.nextSib(c)
+      }
+      return true
+    }
+    false
+  }
+
+  def isWhitespaceNode(dom: Dom, id: Int): Boolean = {
+    dom.kind(id) match {
+      case Dom.Text => dom.text(id).forall(Dom.isWhitespace)
+      case Dom.Element => dom.tag(id) == "br"
+      case _ => false
+    }
+  }
+
+  /** Element has no text and only br/hr children (Mozilla
+    * _isElementWithoutContent).
+    */
+  def isElementWithoutContent(dom: Dom, id: Int): Boolean = {
+    if (dom.kind(id) != Dom.Element) return false
+    val text = innerText(dom, id)
+    if (text.nonEmpty) return false
+    val total = dom.childCount(id)
+    if (total == 0) return true
+    val brHr = dom.getElementsByTag(id, "br").size + dom.getElementsByTag(id, "hr").size
+    dom.childElementCount(id) == brHr &&
+      // no non-whitespace text children anywhere (text empty already ensures)
+      true
+  }
+
+  /** Mozilla _hasSingleTagInsideElement: exactly one child element of the
+    * tag and no non-whitespace text nodes.
+    */
+  def hasSingleTagInsideElement(dom: Dom, id: Int, t: String): Boolean = {
+    if (dom.childElementCount(id) != 1) return false
+    val els = dom.childElements(id)
+    if (dom.tag(els(0)) != t) return false
+    var c = dom.firstChild(id)
+    while (c != -1) {
+      if (dom.kind(c) == Dom.Text && !dom.text(c).forall(Dom.isWhitespace)) return false
+      c = dom.nextSib(c)
+    }
+    true
+  }
+
+  /** Mozilla _hasChildBlockElement (recursive through children). */
+  def hasChildBlockElement(dom: Dom, id: Int, memo: java.util.HashMap[Integer, java.lang.Boolean] = null): Boolean = {
+    if (memo != null) {
+      val v = memo.get(Integer.valueOf(id))
+      if (v != null) return v.booleanValue()
+    }
+    var result = false
+    var c = dom.firstChild(id)
+    while (c != -1 && !result) {
+      if (dom.kind(c) == Dom.Element) {
+        if (Config.divToPElems.contains(dom.tag(c))) result = true
+        else if (hasChildBlockElement(dom, c, memo)) result = true
+      }
+      c = dom.nextSib(c)
+    }
+    if (memo != null) memo.put(Integer.valueOf(id), java.lang.Boolean.valueOf(result))
+    result
+  }
+
+  def hasAncestorTag(dom: Dom, id: Int, t: String, maxDepth: Int = 3,
+      filter: Int => Boolean = null): Boolean = {
+    var cur = dom.parent(id)
+    var depth = 0
+    while (cur != -1) {
+      if (maxDepth > 0 && depth > maxDepth) return false
+      if (dom.kind(cur) == Dom.Element && dom.tag(cur) == t &&
+          (filter == null || filter(cur))) return true
+      cur = dom.parent(cur)
+      depth += 1
+    }
+    false
+  }
+
+  /** Ancestors bottom-up, limited (Mozilla _getNodeAncestors). */
+  def nodeAncestors(dom: Dom, id: Int, maxDepth: Int): ArrayBuffer[Int] = {
+    val out = new ArrayBuffer[Int]()
+    var cur = dom.parent(id)
+    var i = 0
+    while (cur != -1 && (maxDepth == 0 || i < maxDepth)) {
+      if (dom.kind(cur) == Dom.Element || dom.kind(cur) == Dom.Document) out += cur
+      cur = dom.parent(cur)
+      i += 1
+    }
+    out
+  }
+
+  /** Visibility for scoring (Mozilla _isProbablyVisible as implemented at
+    * `VisibilityRules.swift:9-31` — walks ancestors).
+    */
+  def isProbablyVisible(dom: Dom, id: Int): Boolean = {
+    var cur = id
+    while (cur != -1 && dom.kind(cur) == Dom.Element) {
+      if (hasStyleHidden(dom, cur) || dom.hasAttr(cur, "hidden")) return false
+      val aria = dom.attr(cur, "aria-hidden")
+      if (aria != null && aria.equalsIgnoreCase("true")) {
+        if (cur == id) {
+          if (!dom.className(id).contains("fallback-image")) return false
+        } else return false
+      }
+      cur = dom.parent(cur)
+    }
+    true
+  }
+
+  def hasStyleHidden(dom: Dom, id: Int): Boolean = {
+    val style = dom.attr(id, "style")
+    if (style == null) return false
+    val norm = style.toLowerCase.replace(" ", "")
+    norm.contains("display:none") || norm.contains("visibility:hidden")
+  }
+
+  /** Strict removal rule (`VisibilityRules.swift:36-47`). */
+  def shouldRemoveAsHidden(dom: Dom, id: Int): Boolean = {
+    if (dom.hasAttr(id, "hidden") || hasStyleHidden(dom, id)) return true
+    val aria = dom.attr(id, "aria-hidden")
+    if (aria != null && aria.equalsIgnoreCase("true")) {
+      val t = dom.tag(id)
+      if (t == "img" || t == "picture" || t == "source" || t == "video" || t == "audio")
+        return false
+      if (dom.className(id).toLowerCase.contains("mwe-math")) return false
+      return true
+    }
+    false
+  }
+
+  /** Remove node and return next node in traversal (Mozilla
+    * _removeAndGetNext).
+    */
+  def removeAndGetNext(dom: Dom, id: Int, root: Int): Int = {
+    val next = dom.nextSkippingChildren(id, root)
+    dom.remove(id)
+    next
+  }
+
+  /** Count of descendant elements with any of the tags. */
+  def countTags(dom: Dom, id: Int, ts: Set[String]): Int =
+    dom.getElementsByTags(id, ts).size
+
+  /** Mozilla _textSimilarity: token overlap of b's tokens found in a. */
+  def textSimilarity(a: String, b: String): Double = {
+    val tokensA = a.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val tokensB = b.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (tokensA.isEmpty || tokensB.isEmpty) return 0.0
+    val setA = tokensA.toSet
+    val uniqB = tokensB.filter(t => !setA.contains(t))
+    val distB = uniqB.mkString(" ").length.toDouble / tokensB.mkString(" ").length
+    1.0 - distB
+  }
+
+  /** Retag an element in place (arena makes this O(1); attrs/children kept
+    * — Mozilla _setNodeTag clones, same observable result).
+    */
+  def setNodeTag(dom: Dom, id: Int, t: String): Int = {
+    dom.tag(id) = t
+    id
+  }
+
+  def selectAll(dom: Dom, root: Int, sel: String): ArrayBuffer[Int] =
+    Select.select(dom, root, sel)
+}

@@ -1,0 +1,137 @@
+package graft.algo
+
+import java.nio.file.{Files, Paths, Path}
+import graft.html.{Dom, Parser, Serialize}
+import scala.jdk.CollectionConverters._
+
+/** Golden-fixture comparison harness (dev tool + test support).
+  *
+  * For each fixture dir (source.html + expected.html + expected-metadata
+  * .json) runs the full extraction and compares the output span sequence
+  * against the span sequence derived from expected.html with the same
+  * traversal (FIXTURES.md §2), plus metadata fields.
+  */
+object FixtureRunner {
+
+  val fixtureRoot = "/root/reference/Tests/ReadabilityTests/Resources"
+  val mozillaOptions: Options = Options(charThreshold = 500, classesToPreserve = Seq("caption"))
+  val fakeBaseUrl = "http://fakehost/test/index.html"
+
+  final case class FixtureResult(
+      name: String,
+      spansMatch: Boolean,
+      metaDiffs: List[String],
+      firstSpanDiff: Option[String],
+      nOut: Int, nExp: Int,
+      status: String)
+
+  def metaField(json: String, field: String): Option[String] = {
+    Json.parse(json) match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get(field) match {
+          case Some(s: String) => Some(s)
+          case Some(null) | None => None
+          case Some(b: java.lang.Boolean) => Some(b.toString)
+          case Some(other) => Some(other.toString)
+        }
+      case _ => None
+    }
+  }
+
+  def expectedSpans(expectedHtml: String): IndexedSeq[Serialize.Span] = {
+    val dom = Parser.parse(expectedHtml)
+    // root is div#readability-page-1 inside body
+    val root = {
+      val els = dom.getElementsByTag(dom.bodyEl, "div")
+      els.find(e => dom.idAttr(e) == "readability-page-1").getOrElse(dom.bodyEl)
+    }
+    Serialize.spans(dom, root).toIndexedSeq
+  }
+
+  def runOne(dir: Path, baseUrl: String = fakeBaseUrl): FixtureResult = {
+    val name = dir.getFileName.toString
+    val source = Files.readString(dir.resolve("source.html"))
+    val expectedHtml = Files.readString(dir.resolve("expected.html"))
+    val metaJson = Files.readString(dir.resolve("expected-metadata.json"))
+    val realUrl =
+      if (Files.exists(dir.resolve("meta.json")))
+        metaField(Files.readString(dir.resolve("meta.json")), "url").getOrElse(baseUrl)
+      else baseUrl
+
+    Readability.parse(source, realUrl, mozillaOptions) match {
+      case Readability.Failed(status, error) =>
+        FixtureResult(name, spansMatch = false, List(s"status=$status $error"), None, 0, 0, status)
+      case Readability.Ok(result) =>
+        val exp = expectedSpans(expectedHtml)
+        val out = result.spans
+        var firstDiff: Option[String] = None
+        var i = 0
+        while (firstDiff.isEmpty && i < math.max(out.length, exp.length)) {
+          val o = if (i < out.length) Some(out(i)) else None
+          val e = if (i < exp.length) Some(exp(i)) else None
+          if (o != e)
+            firstDiff = Some(s"span[$i]:\n  out=${fmt(o)}\n  exp=${fmt(e)}")
+          i += 1
+        }
+        val metaDiffs = List.newBuilder[String]
+        def cmp(field: String, actual: Option[String]): Unit = {
+          val expectedV = metaField(metaJson, field).map(_.trim).filter(_.nonEmpty)
+          val actualV = actual.map(_.trim).filter(_.nonEmpty)
+          if (expectedV != actualV)
+            metaDiffs += s"$field: out=${actualV.getOrElse("∅")} exp=${expectedV.getOrElse("∅")}"
+        }
+        cmp("title", Some(result.title))
+        cmp("byline", result.byline)
+        cmp("dir", result.dir)
+        cmp("lang", result.lang)
+        cmp("excerpt", result.excerpt)
+        cmp("siteName", result.siteName)
+        cmp("publishedTime", result.publishedTime)
+        FixtureResult(name, firstDiff.isEmpty, metaDiffs.result(), firstDiff,
+          out.length, exp.length, "ok")
+    }
+  }
+
+  private def fmt(s: Option[Serialize.Span]): String = s match {
+    case None => "<missing>"
+    case Some(sp) =>
+      val t = Option(sp.text).map(x => if (x.length > 120) x.take(120) + "…" else x)
+      s"(${sp.kind}, ${t.getOrElse("")}, ${Option(sp.mediaRef).getOrElse("")})"
+  }
+
+  def corpusDirs(corpus: String): Seq[Path] = {
+    val root = Paths.get(fixtureRoot, corpus)
+    Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Dev main: run a corpus, print per-fixture state + summary.
+    * args: [corpus] [fixtureName]
+    */
+  def main(args: Array[String]): Unit = {
+    val corpus = if (args.nonEmpty) args(0) else "test-pages"
+    val only = if (args.length > 1) Some(args(1)) else None
+    val dirs = corpusDirs(corpus).filter(d => only.forall(_ == d.getFileName.toString))
+    var pass = 0
+    var contentPass = 0
+    val t0 = System.nanoTime()
+    for (dir <- dirs) {
+      val r = try runOne(dir) catch {
+        case e: Throwable =>
+          FixtureResult(dir.getFileName.toString, spansMatch = false,
+            List(s"EXCEPTION ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(100)}"), None, 0, 0, "exception")
+      }
+      val metaOk = r.metaDiffs.isEmpty
+      if (r.spansMatch && metaOk) pass += 1
+      if (r.spansMatch) contentPass += 1
+      val flag = if (r.spansMatch && metaOk) "PASS" else if (r.spansMatch) "META" else "FAIL"
+      println(f"$flag%-5s ${r.name}%-45s spans=${r.nOut}/${r.nExp}")
+      if (only.isDefined || (!r.spansMatch && dirs.size <= 8)) {
+        r.firstSpanDiff.foreach(d => println("  " + d.replace("\n", "\n  ")))
+      }
+      if (!metaOk && (only.isDefined || dirs.size <= 8))
+        r.metaDiffs.foreach(d => println("  META " + d))
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"\n$corpus: $pass/${dirs.size} full pass, $contentPass/${dirs.size} content pass (${dt}%.1f s)")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.algo
+
+import graft.html.{Dom, Parser, Select, Serialize}
+import DomOps._
+
+/** The per-document extraction façade: parse → prep → metadata → grab →
+  * clean → serialize, mirroring the reference's executeParse lifecycle
+  * (`Readability.swift:39-265`, traced in SURVEY.md §3.1). Pure function of
+  * (html, baseUrl, options) — no randomness, no wall clock — as required
+  * for checkpoint/replay determinism.
+  */
+object Readability {
+
+  sealed trait Outcome
+  final case class Ok(result: Result) extends Outcome
+  final case class Failed(status: String, error: String) extends Outcome
+
+  def parse(html: String, baseUrl: String, opts: Options = Options()): Outcome = {
+    try {
+      val dom = Parser.parse(html)
+      if (dom.bodyEl == -1) return Failed("parse_failed", "no body")
+      extract(dom, baseUrl, opts)
+    } catch {
+      case e: StackOverflowError => Failed("parse_failed", "stack overflow")
+      case e: Exception => Failed("error", String.valueOf(e))
+    }
+  }
+
+  private def extract(dom: Dom, baseUrl: String, opts: Options): Outcome = {
+    val docLocation = baseUrl
+
+    // 1. source URL (site-rule gating input; also og:url/canonical)
+    val sourceUrl = Prep.detectSourceUrl(dom, docLocation)
+
+    // 2. noscript image unwrap (P3)
+    Prep.unwrapNoscriptImages(dom)
+
+    // 3. noscript article promotion (P4, reference deviation)
+    Prep.promoteReadableNoscriptFallbacks(dom, opts.charThreshold)
+
+    // 4. metadata BEFORE prepDocument (keeps ld+json scripts)
+    val metadata = Metadata.extract(dom, opts.disableJsonLd)
+
+    // 5. prepDocument (P5–P8)
+    Prep.prepDocument(dom)
+
+    // 7. title
+    val title = metadata.title.getOrElse(Metadata.extractTitle(dom))
+
+    // 8. grabArticle with clone-and-clean acceptance measurement
+    def acceptanceTextLength(content: Int, flags: Int): Int = {
+      val clone = dom.cloneSubtree(content)
+      val cleaner = new Cleaner(dom, opts,
+        allowConditionalCleaning = (flags & Config.FlagCleanConditionally) != 0,
+        allowWeightClasses = (flags & Config.FlagWeightClasses) != 0)
+      cleaner.prepArticle(clone)
+      textLength(dom, clone)
+    }
+
+    val grab = new Grab(dom, opts, title, acceptanceTextLength)
+    val grabResult = grab.extract() match {
+      case Right(r) => r
+      case Left((actual, threshold)) =>
+        return Failed("content_too_short", s"actual=$actual threshold=$threshold")
+    }
+
+    // 9. clean article content
+    def cleanArticleContent(content: Int, flags: Int): String = {
+      val cleaner = new Cleaner(dom, opts,
+        allowConditionalCleaning = (flags & Config.FlagCleanConditionally) != 0,
+        allowWeightClasses = (flags & Config.FlagWeightClasses) != 0)
+      cleaner.prepArticle(content)
+      cleaner.postProcessArticle(content)
+      Metadata.removeTitleMatchedHeaders(dom, content, title)
+      cleaner.trimBoundaryNonContent(content)
+      innerText(dom, content)
+    }
+
+    val articleContent = grabResult.content
+    val textContent = cleanArticleContent(articleContent, grabResult.flags)
+
+    // 11. excerpt
+    val excerpt = metadata.excerpt.orElse(Metadata.extractExcerpt(dom, articleContent))
+
+    // 12. page wrapper (Z1)
+    val pageWrapper = dom.newElement("div")
+    dom.setAttr(pageWrapper, "id", "readability-page-1")
+    dom.setAttr(pageWrapper, "class", "page")
+    dom.moveChildren(articleContent, pageWrapper)
+    dom.appendChild(articleContent, pageWrapper)
+
+    // 13. fix URIs → simplify → clean classes → polish (Z2–Z5)
+    val post = new Post(dom, opts, docLocation)
+    post.fixRelativeUris(articleContent)
+    post.simplifyNestedElements(articleContent)
+    post.normalizeSplitPrintInfo(articleContent)
+    if (!opts.keepClasses) {
+      val preserved = (Config.classesToPreserveDefault ++ opts.classesToPreserve).toSet
+      post.cleanClasses(articleContent, preserved)
+    }
+    post.trimParagraphBoundaryWhitespace(articleContent)
+    post.restoreFigureWrapperMetadata(articleContent)
+
+    val contentRoot = {
+      // serialize the pageWrapper (the content div's single child)
+      val els = dom.childElements(articleContent)
+      if (els.nonEmpty) els(0) else articleContent
+    }
+    val contentHtml = Serialize.html(dom, contentRoot)
+    val spans = Serialize.spans(dom, contentRoot).toIndexedSeq
+
+    // 14. byline merge (M5)
+    val byline: Option[String] = metadata.byline match {
+      case Some(mb) if Metadata.isLowQualityMetadataByline(mb) =>
+        grabResult.byline.map(_.trim).filter(_.nonEmpty)
+      case Some(mb) => Some(mb)
+      case None => grabResult.byline
+    }
+
+    Ok(Result(
+      title = title,
+      byline = byline,
+      dir = grabResult.dir,
+      lang = grabResult.lang,
+      contentHtml = contentHtml,
+      spans = spans,
+      textContent = textContent,
+      excerpt = excerpt,
+      length = Config.charLen(textContent),
+      siteName = metadata.siteName,
+      publishedTime = metadata.publishedTime))
+  }
+}

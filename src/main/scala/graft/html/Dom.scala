@@ -372,6 +372,48 @@ final class Dom(initialCapacity: Int = 256) {
     false
   }
 
+  /** Deep-copy a subtree within this arena; returns the detached copy root. */
+  def cloneSubtree(id: Int): Int = {
+    val copy = kind(id) match {
+      case Dom.Element =>
+        val e = newElement(tag(id))
+        if (attrs(id) != null) attrs(e) = attrs(id).clone()
+        e
+      case Dom.Text => newText(text(id))
+      case Dom.Data => newData(text(id))
+      case Dom.Comment => newComment(text(id))
+      case Dom.Doctype => newDoctype(text(id))
+      case _ => newElement("div")
+    }
+    var c = firstChild(id)
+    while (c != -1) {
+      appendChild(copy, cloneSubtree(c))
+      c = nextSib(c)
+    }
+    copy
+  }
+
+  /** Import a subtree from another arena; returns the detached copy root. */
+  def importSubtree(src: Dom, id: Int): Int = {
+    val copy = src.kind(id) match {
+      case Dom.Element =>
+        val e = newElement(src.tag(id))
+        if (src.attrs(id) != null) attrs(e) = src.attrs(id).clone()
+        e
+      case Dom.Text => newText(src.text(id))
+      case Dom.Data => newData(src.text(id))
+      case Dom.Comment => newComment(src.text(id))
+      case Dom.Doctype => newDoctype(src.text(id))
+      case _ => newElement("div")
+    }
+    var c = src.firstChild(id)
+    while (c != -1) {
+      appendChild(copy, importSubtree(src, c))
+      c = src.nextSib(c)
+    }
+    copy
+  }
+
   // ------------------------------------------------------------- snapshot
 
   /** Deep copy for pass-restore. */
