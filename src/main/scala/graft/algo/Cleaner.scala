@@ -99,7 +99,7 @@ final class Cleaner(dom: Dom, opts: Options,
           signature.contains("robots-nocontent") || signature.contains("whats-next")
         val isSupplemental = signature.contains("supplemental")
         if (isExplicitNoContent || isSupplemental) {
-          val text = innerText(dom, c).trim
+          val text = sTrim(innerText(dom, c))
           val density = linkDensity(c)
           if (isSupplemental) {
             if (Config.charLen(text) <= 1200 || density >= 0.2) dom.remove(c)
@@ -129,7 +129,7 @@ final class Cleaner(dom: Dom, opts: Options,
         else if (hasInterrupter && parentSignature.contains("story-body")) href == "#story-continues-1"
         else false
       if (shouldRescue) {
-        val text = innerText(dom, link).trim
+        val text = sTrim(innerText(dom, link))
         if (text.nonEmpty) {
           val p = dom.newElement("p")
           val a = dom.newElement("a")
@@ -150,7 +150,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < spans.length) {
       val s = spans(i)
-      if (dom.isAttached(s)) {
+      if ((dom.parent(s) != -1)) {
         val own = ownText(s).trim
         if (own == "Stream Type" || own.matches("^\\s*Stream\\s+Type\\s*$")) {
           var cur = dom.parent(s)
@@ -171,10 +171,10 @@ final class Cleaner(dom: Dom, opts: Options,
     i = divs1.length - 1
     while (i >= 0) {
       val d = divs1(i)
-      if (dom.isAttached(d)) {
+      if ((dom.parent(d) != -1)) {
         val labels = dom.getElementsByTag(d, "label")
         if (labels.nonEmpty) {
-          val texts = labels.map(l => innerText(dom, l).trim.toLowerCase)
+          val texts = labels.map(l => sTrim(innerText(dom, l)).toLowerCase)
           if (texts.contains("foreground") && texts.contains("background") && texts.contains("font size"))
             dom.remove(d)
         }
@@ -186,7 +186,7 @@ final class Cleaner(dom: Dom, opts: Options,
     i = 0
     while (i < navs.length) {
       val nav = navs(i)
-      if (dom.isAttached(nav) && Select.selectFirst(dom, nav, "ul[role=tablist]") != -1)
+      if ((dom.parent(nav) != -1) && Select.selectFirst(dom, nav, "ul[role=tablist]") != -1)
         removeAll(nav, "form")
       i += 1
     }
@@ -195,7 +195,7 @@ final class Cleaner(dom: Dom, opts: Options,
     i = divs2.length - 1
     while (i >= 0) {
       val d = divs2(i)
-      if (dom.isAttached(d)) {
+      if ((dom.parent(d) != -1)) {
         val children = dom.childElements(d)
         val hasSvg = children.exists(c => dom.tag(c) == "svg")
         val hasMarkdown = children.exists(c => Option(dom.attr(c, "markdown")).exists(_.nonEmpty))
@@ -208,7 +208,7 @@ final class Cleaner(dom: Dom, opts: Options,
     i = 0
     while (i < prompts.length) {
       val p = prompts(i)
-      if (dom.isAttached(p)) {
+      if ((dom.parent(p) != -1)) {
         val cls = dom.className(p).toLowerCase
         if (cls.contains("feedback-prompt") || cls.contains("reader-satisfaction-survey"))
           dom.remove(p)
@@ -220,8 +220,8 @@ final class Cleaner(dom: Dom, opts: Options,
     i = divs3.length - 1
     while (i >= 0) {
       val d = divs3(i)
-      if (dom.isAttached(d)) {
-        val text = innerText(dom, d).trim.toLowerCase
+      if ((dom.parent(d) != -1)) {
+        val text = sTrim(innerText(dom, d)).toLowerCase
         if ((text == "advertising" || text == "advertisement") &&
             Select.selectFirst(dom, d, "img, picture, video, iframe, object, embed, figure") == -1)
           dom.remove(d)
@@ -398,8 +398,8 @@ final class Cleaner(dom: Dom, opts: Options,
 
   private def hasMeaningfulContent(id: Int): Boolean = {
     dom.kind(id) match {
-      case Dom.Text => dom.text(id).trim.nonEmpty
-      case Dom.Data => dom.text(id).trim.nonEmpty
+      case Dom.Text => sTrim(dom.text(id)).nonEmpty
+      case Dom.Data => sTrim(dom.text(id)).nonEmpty
       case Dom.Comment => false
       case Dom.Element =>
         val t = dom.tag(id)
@@ -591,7 +591,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = nodes.length - 1
     while (i >= 0) {
       val node = nodes(i)
-      if (dom.parent(node) != -1 && dom.isAttached(node)) {
+      if (dom.parent(node) != -1 && (dom.parent(node) != -1)) {
         cleanConditionallyNode(root, node, tag)
       }
       i -= 1
@@ -645,7 +645,7 @@ final class Cleaner(dom: Dom, opts: Options,
     }
     if (allowedEmbed) return
 
-    val trimmed = text.trim
+    val trimmed = sTrim(text)
     if (adWord.matcher(trimmed).find() || loadingWord.matcher(trimmed).find()) {
       dom.remove(node); return
     }
@@ -729,7 +729,7 @@ final class Cleaner(dom: Dom, opts: Options,
       var j = candidates.length - 1
       while (j >= 0) {
         val node = candidates(j)
-        if (node != top && dom.isAttached(node)) {
+        if (node != top && (dom.parent(node) != -1)) {
           val ms = (dom.className(node) + " " + dom.idAttr(node)).toLowerCase
           if (shareMarker.matcher(ms).find() && textLength(dom, node) < opts.charThreshold)
             dom.remove(node)
@@ -747,10 +747,10 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = divs.length - 1
     while (i >= 0) {
       val div = divs(i)
-      if (dom.parent(div) != -1 && dom.isAttached(div) &&
+      if (dom.parent(div) != -1 && (dom.parent(div) != -1) &&
           !hasAncestorTag(dom, div, "table", 0) &&
           Select.selectFirst(dom, div, "img, picture, figure, video, iframe, object, embed, table, pre, code, ul, ol, blockquote") == -1) {
-        val text = innerText(dom, div).trim
+        val text = sTrim(innerText(dom, div))
         if (text.nonEmpty && Config.charLen(text) <= 90 &&
             sel(div, "p").length <= 4 && sel(div, "a").length >= 2 &&
             linkDensity(div) >= 0.2)
@@ -767,11 +767,11 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = divs.length - 1
     while (i >= 0) {
       val div = divs(i)
-      if (dom.parent(div) != -1 && dom.isAttached(div) &&
+      if (dom.parent(div) != -1 && (dom.parent(div) != -1) &&
           !hasAncestorTag(dom, div, "figure", 0) && !hasAncestorTag(dom, div, "table", 0) &&
           Select.selectFirst(dom, div, "img, picture, figure, video, iframe, object, embed") == -1) {
         val h = Select.selectFirst(dom, div, "h1, h2, h3, h4, h5, h6, strong, b")
-        val headingText = if (h == -1) "" else innerText(dom, h).trim.toLowerCase
+        val headingText = if (h == -1) "" else sTrim(innerText(dom, h)).toLowerCase
         if (headingText.nonEmpty) {
           val isRelated = headingText == "related" || headingText == "more" ||
             headingText.startsWith("related ") || headingText.startsWith("more on ") ||
@@ -794,11 +794,11 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = lists.length - 1
     while (i >= 0) {
       val list = lists(i)
-      if (dom.parent(list) != -1 && dom.isAttached(list) &&
+      if (dom.parent(list) != -1 && (dom.parent(list) != -1) &&
           !hasAncestorTag(dom, list, "figure", 0) && !hasAncestorTag(dom, list, "table", 0)) {
         val items = dom.childElements(list)
         if (items.size == 1 && dom.tag(items(0)) == "li" && sel(list, "a").length == 1) {
-          val text = innerText(dom, list).trim
+          val text = sTrim(innerText(dom, list))
           if (text.nonEmpty && Config.charLen(text) <= 90) {
             val prev = prevElementSibling(list)
             val next = nextElementSibling(list)
@@ -836,8 +836,8 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = divs.length - 1
     while (i >= 0) {
       val div = divs(i)
-      if (dom.parent(div) != -1 && dom.isAttached(div)) {
-        val text = innerText(dom, div).trim
+      if (dom.parent(div) != -1 && (dom.parent(div) != -1)) {
+        val text = sTrim(innerText(dom, div))
         if (text.isEmpty &&
             Select.selectFirst(dom, div, "img, picture, figure, video, iframe, object, embed, table") == -1)
           dom.remove(div)
@@ -853,9 +853,9 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = notes.length - 1
     while (i >= 0) {
       val note = notes(i)
-      if (dom.parent(note) != -1 && dom.isAttached(note) &&
+      if (dom.parent(note) != -1 && (dom.parent(note) != -1) &&
           Select.selectFirst(dom, note, "img, picture, figure, video, iframe, object, embed, table") == -1) {
-        val text = innerText(dom, note).trim
+        val text = sTrim(innerText(dom, note))
         if (text.nonEmpty && Config.charLen(text) <= 80) {
           val lower = text.toLowerCase
           if (lower.startsWith("main article:") || lower.startsWith("see also:"))
@@ -873,7 +873,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < divs.length) {
       val div = divs(i)
-      if (dom.isAttached(div) && dom.kind(div) == Dom.Element && dom.tag(div) == "div" &&
+      if ((dom.parent(div) != -1) && dom.kind(div) == Dom.Element && dom.tag(div) == "div" &&
           dom.parent(div) != -1) {
         // wrap consecutive phrasing runs
         var childNode = dom.firstChild(div)
@@ -952,7 +952,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = divs.length - 1
     while (i >= 0) {
       val div = divs(i)
-      if (dom.isAttached(div) && dom.parent(div) != -1 &&
+      if ((dom.parent(div) != -1) && dom.parent(div) != -1 &&
           !dom.hasAttr(div, "data-testid") &&
           !dom.hasAttr(div, "data-load-playlist") &&
           Select.selectFirst(dom, div, "[data-load-playlist]") == -1 &&
@@ -999,7 +999,7 @@ final class Cleaner(dom: Dom, opts: Options,
     while (cursor != -1) {
       dom.kind(cursor) match {
         case Dom.Text =>
-          if (dom.text(cursor).trim.isEmpty) cursor = dom.nextSib(cursor)
+          if (sTrim(dom.text(cursor)).isEmpty) cursor = dom.nextSib(cursor)
           else return false
         case Dom.Element =>
           val t = dom.tag(cursor)
@@ -1016,8 +1016,8 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < ps.length) {
       val p = ps(i)
-      if (dom.isAttached(p)) {
-        val text = innerText(dom, p).trim
+      if ((dom.parent(p) != -1)) {
+        val text = sTrim(innerText(dom, p))
         if (text.isEmpty && sel(p, "img, embed, object, iframe").isEmpty) dom.remove(p)
       }
       i += 1
@@ -1035,8 +1035,8 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < candidates.length) {
       val node = candidates(i)
-      if (dom.isAttached(node)) {
-        val text = innerText(dom, node).trim.toLowerCase
+      if ((dom.parent(node) != -1)) {
+        val text = sTrim(innerText(dom, node)).toLowerCase
         if (text == "advertisement") dom.remove(node)
         else {
           val identity = (dom.idAttr(node) + " " + dom.className(node)).toLowerCase
@@ -1054,7 +1054,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < tables.length) {
       val table = tables(i)
-      if (dom.isAttached(table)) {
+      if ((dom.parent(table) != -1)) {
         val tbody =
           if (hasSingleTagInsideElement(dom, table, "tbody")) dom.childElements(table)(0)
           else table
@@ -1138,7 +1138,7 @@ final class Cleaner(dom: Dom, opts: Options,
 
   private def isDirectResidue(node: Int): Boolean = {
     dom.kind(node) match {
-      case Dom.Text => dom.text(node).trim.isEmpty
+      case Dom.Text => sTrim(dom.text(node)).isEmpty
       case Dom.Comment => true
       case Dom.Element =>
         dom.tag(node) match {
@@ -1163,7 +1163,7 @@ final class Cleaner(dom: Dom, opts: Options,
 
   private def isNodeBoundaryResidue(node: Int): Boolean = {
     dom.kind(node) match {
-      case Dom.Text => dom.text(node).trim.isEmpty
+      case Dom.Text => sTrim(dom.text(node)).isEmpty
       case Dom.Comment => true
       case Dom.Element =>
         val t = dom.tag(node)
@@ -1185,7 +1185,7 @@ final class Cleaner(dom: Dom, opts: Options,
     var c = dom.firstChild(el)
     while (c != -1) {
       dom.kind(c) match {
-        case Dom.Text => if (dom.text(c).trim.nonEmpty) return true
+        case Dom.Text => if (sTrim(dom.text(c)).nonEmpty) return true
         case Dom.Element => if (hasMeaningfulBoundaryContent(c)) return true
         case _ =>
       }

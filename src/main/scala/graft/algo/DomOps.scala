@@ -12,6 +12,36 @@ object DomOps {
 
   import Config.charLen
 
+  /** Swift `.whitespacesAndNewlines` membership: Zs/Zl/Zp + control
+    * whitespace + NEL — notably INCLUDES U+00A0, unlike Java trim. The
+    * reference's emptiness checks all use this set.
+    */
+  @inline def isSwiftWs(c: Char): Boolean = {
+    if (c == ' ' || (c >= '\t' && c <= '\r') || c == '\u0085') true
+    else {
+      val t = Character.getType(c)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR
+    }
+  }
+
+  def sTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isSwiftWs(s.charAt(a))) a += 1
+    while (b > a && isSwiftWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  def sBlank(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (!isSwiftWs(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
   /** jsoup-style normalized text of the subtree. */
   def innerText(dom: Dom, id: Int, normalizeSpaces: Boolean = true): String = {
     val raw = dom.textContent(id)
@@ -83,9 +113,10 @@ object DomOps {
     false
   }
 
+  /** Reference's DOMTraversal.isWhitespace (Swift trim set incl. nbsp). */
   def isWhitespaceNode(dom: Dom, id: Int): Boolean = {
     dom.kind(id) match {
-      case Dom.Text => dom.text(id).forall(Dom.isWhitespace)
+      case Dom.Text => sBlank(dom.text(id))
       case Dom.Element => dom.tag(id) == "br"
       case _ => false
     }
@@ -96,7 +127,7 @@ object DomOps {
     */
   def isElementWithoutContent(dom: Dom, id: Int): Boolean = {
     if (dom.kind(id) != Dom.Element) return false
-    val text = innerText(dom, id)
+    val text = sTrim(innerText(dom, id))
     if (text.nonEmpty) return false
     val total = dom.childCount(id)
     if (total == 0) return true
@@ -115,7 +146,7 @@ object DomOps {
     if (dom.tag(els(0)) != t) return false
     var c = dom.firstChild(id)
     while (c != -1) {
-      if (dom.kind(c) == Dom.Text && !dom.text(c).forall(Dom.isWhitespace)) return false
+      if (dom.kind(c) == Dom.Text && !sBlank(dom.text(c))) return false
       c = dom.nextSib(c)
     }
     true

@@ -62,6 +62,10 @@ object FixtureRunner {
       case Readability.Failed(status, error) =>
         FixtureResult(name, spansMatch = false, List(s"status=$status $error"), None, 0, 0, status)
       case Readability.Ok(result) =>
+        if (sys.env.contains("GRAFT_DUMP")) {
+          Files.writeString(Paths.get(s"/tmp/graft_out_$name.html"), result.contentHtml)
+          Files.writeString(Paths.get(s"/tmp/graft_exp_$name.html"), expectedHtml)
+        }
         val exp = expectedSpans(expectedHtml)
         val out = result.spans
         var firstDiff: Option[String] = None
@@ -69,8 +73,18 @@ object FixtureRunner {
         while (firstDiff.isEmpty && i < math.max(out.length, exp.length)) {
           val o = if (i < out.length) Some(out(i)) else None
           val e = if (i < exp.length) Some(exp(i)) else None
-          if (o != e)
-            firstDiff = Some(s"span[$i]:\n  out=${fmt(o)}\n  exp=${fmt(e)}")
+          if (o != e) {
+            val charDiff = (o, e) match {
+              case (Some(a), Some(b)) if a.text != null && b.text != null =>
+                val idx = (0 until math.min(a.text.length, b.text.length))
+                  .find(k => a.text.charAt(k) != b.text.charAt(k))
+                  .getOrElse(math.min(a.text.length, b.text.length))
+                val from = math.max(0, idx - 40)
+                s"\n  diverge@$idx:\n   out…${a.text.slice(from, idx + 60)}\n   exp…${b.text.slice(from, idx + 60)}"
+              case _ => ""
+            }
+            firstDiff = Some(s"span[$i]:\n  out=${fmt(o)}\n  exp=${fmt(e)}$charDiff")
+          }
           i += 1
         }
         val metaDiffs = List.newBuilder[String]
@@ -96,7 +110,9 @@ object FixtureRunner {
     case None => "<missing>"
     case Some(sp) =>
       val t = Option(sp.text).map(x => if (x.length > 120) x.take(120) + "…" else x)
-      s"(${sp.kind}, ${t.getOrElse("")}, ${Option(sp.mediaRef).getOrElse("")})"
+      val cps = Option(sp.text).filter(_.length <= 4)
+        .map(x => " cps=" + x.map(c => f"U+${c.toInt}%04X").mkString(",")).getOrElse("")
+      s"(${sp.kind}, ${t.getOrElse("")}, ${Option(sp.mediaRef).getOrElse("")})$cps"
   }
 
   def corpusDirs(corpus: String): Seq[Path] = {

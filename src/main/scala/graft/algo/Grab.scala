@@ -224,7 +224,7 @@ final class Grab(
     var extracted: String = null
     val nameNode = findItemPropNameNode(node)
     if (nameNode != -1) {
-      extracted = normalizeByline(innerText(dom, nameNode).trim, node)
+      extracted = normalizeByline(sTrim(innerText(dom, nameNode)), node)
     } else {
       val linkText = findAuthorLinkText(node)
       if (linkText != null) extracted = normalizeByline(linkText, node)
@@ -240,7 +240,7 @@ final class Grab(
     if (shouldRejectBylineNode(node, ms)) return false
     val rel = Option(dom.attr(node, "rel")).getOrElse("").toLowerCase
     val itemprop = Option(dom.attr(node, "itemprop")).getOrElse("").toLowerCase
-    val len = charLen(innerText(dom, node).trim)
+    val len = charLen(sTrim(innerText(dom, node)))
     (rel == "author" || itemprop.contains("author") || Config.byline.matcher(ms).find()) &&
       len > 0 && len < 100
   }
@@ -264,7 +264,7 @@ final class Grab(
     for (sel <- selectors) {
       val cand = Select.selectFirst(dom, node, sel)
       if (cand != -1) {
-        val text = innerText(dom, cand).trim
+        val text = sTrim(innerText(dom, cand))
         if (text.nonEmpty && !looksLikeUrlText(text)) return text
       }
     }
@@ -331,7 +331,7 @@ final class Grab(
     val t = dom.tag(node)
     if (t != "h1" && t != "h2") return false
     if (t == "h2" && dom.idAttr(node).trim.nonEmpty) return false
-    val heading = innerText(dom, node).trim
+    val heading = sTrim(innerText(dom, node))
     textSimilarity(articleTitle, heading) > 0.75
   }
 
@@ -671,9 +671,9 @@ final class Grab(
     }
     if (main == -1) return candidate
     val hasMozillaFeatureHeading = dom.getElementsByTag(main, "h2")
-      .exists(h => innerText(dom, h).trim.toLowerCase == "features and tools")
+      .exists(h => sTrim(innerText(dom, h)).toLowerCase == "features and tools")
     val hasSyncNoticeHeading = dom.getElementsByTag(main, "h4")
-      .exists(h => innerText(dom, h).trim.toLowerCase == "important: sync your new profile")
+      .exists(h => sTrim(innerText(dom, h)).toLowerCase == "important: sync your new profile")
     if (!hasMozillaFeatureHeading && !hasSyncNoticeHeading) return candidate
     val candidateTextLength = textLength(dom, candidate)
     val mainTextLength = textLength(dom, main)

@@ -32,11 +32,42 @@ object Metadata {
     val m = if (disableJsonLd) Meta() else extractJsonLd(dom)
     val mm = extractMetaTags(dom)
     Meta(
-      title = nonEmpty(m.title).orElse(nonEmpty(mm.title)),
-      byline = nonEmpty(m.byline).orElse(nonEmpty(mm.byline)),
-      excerpt = nonEmpty(m.excerpt).orElse(nonEmpty(mm.excerpt)),
-      siteName = nonEmpty(m.siteName).orElse(nonEmpty(mm.siteName)),
+      title = nonEmpty(m.title).orElse(nonEmpty(mm.title)).map(unescapeHtmlEntities),
+      byline = nonEmpty(m.byline).orElse(nonEmpty(mm.byline)).map(unescapeHtmlEntities),
+      excerpt = nonEmpty(m.excerpt).orElse(nonEmpty(mm.excerpt)).map(unescapeHtmlEntities),
+      siteName = nonEmpty(m.siteName).orElse(nonEmpty(mm.siteName)).map(unescapeHtmlEntities),
       publishedTime = nonEmpty(m.publishedTime).orElse(nonEmpty(mm.publishedTime)))
+  }
+
+  private val namedEscape = Pattern.compile("&(quot|amp|apos|lt|gt);")
+  private val numericEscape = Pattern.compile("&#(?:x([0-9a-fA-F]+)|([0-9]+));")
+
+  /** Mozilla _unescapeHtmlEntities: second decode for double-encoded
+    * metadata values; invalid/surrogate/overflow code points → U+FFFD.
+    */
+  def unescapeHtmlEntities(s: String): String = {
+    if (s == null || !s.contains("&")) return s
+    val map = Map("quot" -> "\"", "amp" -> "&", "apos" -> "'", "lt" -> "<", "gt" -> ">")
+    var out = {
+      val m = namedEscape.matcher(s)
+      val sb = new StringBuffer()
+      while (m.find()) m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(map(m.group(1))))
+      m.appendTail(sb)
+      sb.toString
+    }
+    val m = numericEscape.matcher(out)
+    val sb = new StringBuffer()
+    while (m.find()) {
+      val numStr = if (m.group(1) != null) m.group(1) else m.group(2)
+      val radix = if (m.group(1) != null) 16 else 10
+      val num = try {
+        val v = java.lang.Long.parseLong(numStr, radix)
+        if (v == 0 || v > 0x10ffff || (v >= 0xd800 && v <= 0xdfff)) 0xfffd else v.toInt
+      } catch { case _: NumberFormatException => 0xfffd }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(num))))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   // ------------------------------------------------------------- JSON-LD
@@ -271,7 +302,7 @@ object Metadata {
     var i = 0
     while (i < headers.length) {
       val h = headers(i)
-      if (dom.isAttached(h)) {
+      if ((dom.parent(h) != -1)) {
         val text = innerText(dom, h)
         val normalizedHeader = normalize(text)
         if (normalizedHeader == normalizedTitle) dom.remove(h)

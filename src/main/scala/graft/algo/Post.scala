@@ -44,7 +44,7 @@ final class Post(dom: Dom, opts: Options, docLocation: String) {
     var i = 0
     while (i < links.length) {
       val link = links(i)
-      if (dom.isAttached(link)) {
+      if ((dom.parent(link) != -1)) {
         val href = Option(dom.attr(link, "href")).getOrElse("")
         if (href.nonEmpty) {
           val normalized = href.trim
@@ -112,7 +112,7 @@ final class Post(dom: Dom, opts: Options, docLocation: String) {
                 val children = dom.childElements(node)
                 if (children.size >= 3 && children.forall(c => dom.tag(c) == "p")) {
                   val prefix = children.take(math.min(6, children.size))
-                  val shortCount = prefix.count(p => Config.charLen(innerText(dom, p).trim) <= 24)
+                  val shortCount = prefix.count(p => Config.charLen(sTrim(innerText(dom, p))) <= 24)
                   if (shortCount >= 3) {
                     val merged = dom.newElement("p")
                     children.foreach(p => dom.moveChildren(p, merged))
@@ -168,7 +168,7 @@ final class Post(dom: Dom, opts: Options, docLocation: String) {
     var i = candidates.length - 1
     while (i >= 0) {
       val container = candidates(i)
-      if (dom.isAttached(container)) {
+      if ((dom.parent(container) != -1)) {
         val text = innerText(dom, container).toLowerCase
         if (text.contains("a version of this article appears in print on")) {
           val children = dom.childElements(container)

@@ -715,7 +715,11 @@ private final class Parser(input: String) {
         case "html" | "body" =>
           ensureBody()
           return
-        case "noscript" | "title" | "style" | "script" | "template" | "noframes" =>
+        case "p" | "br" =>
+          // spec: </p>/</br> before body act as "anything else" → to body
+          ensureBody()
+        case _ =>
+          // pop a matching open head-phase element; otherwise ignore
           var i = stack.length - 1
           while (i >= 0) {
             if (dom.tag(stack(i)) == name) {
@@ -725,8 +729,6 @@ private final class Parser(input: String) {
             i -= 1
           }
           return
-        case _ =>
-          ensureBody()
       }
     }
 
