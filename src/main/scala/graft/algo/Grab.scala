@@ -121,9 +121,12 @@ final class Grab(
     }
     val (topCandidate, neededToCreate) = selectTopCandidate(initialized, body)
 
+    // dir must be read while the candidate is still in the page tree —
+    // the merge below moves it into the detached article container
+    val articleDir = extractArticleDirection(topCandidate)
+
     // Phase 4: sibling merge (G13)
     val articleContent = mergeSiblings(topCandidate)
-    val articleDir = extractArticleDirection(topCandidate)
     (articleContent, topCandidate, neededToCreate, articleDir)
   }
 

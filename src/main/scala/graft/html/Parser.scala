@@ -359,14 +359,12 @@ private final class Parser(input: String) {
   private def attrArray(): Array[String] =
     if (attrBuf.isEmpty) null else attrBuf.toArray
 
-  private def insertComment(s: String): Unit = {
-    val c = dom.newComment(s)
-    mode match {
-      case 0 => dom.appendChild(if (dom.htmlEl == -1) dom.document else currentTarget(), c)
-      case 1 => dom.appendChild(currentTarget(), c)
-      case _ => appendNode(c, fosterOk = false)
-    }
-  }
+  /** Comment nodes are dropped entirely: no extraction pass reads them, no
+    * reference fixture output contains one, and comments between inline
+    * nodes must not break phrasing-content runs (observed on the
+    * schema-org fixture).
+    */
+  private def insertComment(s: String): Unit = ()
 
   private def currentTarget(): Int =
     if (stack.nonEmpty) stack.last
