@@ -17,12 +17,53 @@ object Queries {
 
   // ---------------------------------------------------------------- entry
 
-  /** Flagship extraction placeholder until the arena pipeline lands:
-    * projects the documents table (rows > 0 at sf0.001). Replaced by the
-    * full spans pipeline in graft.spark.Pipeline.
+  /** Flagship: full Readability span extraction over a deterministic
+    * synthetic interleaved corpus (salted repartition → typed
+    * mapPartitions → per-doc span sequences).
     */
   def extractDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    d2_token_stats(spark, sfDir)
+    x1_extract(spark, sfDir)
+
+  private def corpusSize(sfDir: String): Long =
+    if (sfDir.contains("0.001")) 100L
+    else if (sfDir.contains("0.01")) 400L
+    else 2000L
+
+  /** Extraction smoke/verify surface: doc_id, status, metadata, span
+    * stats per document. Rows-only check (extraction is not
+    * SQL-expressible; the golden fixture suite is its correctness gate).
+    */
+  def x1_extract(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = graft.spark.Corpus.generate(s, corpusSize(dir))
+    graft.spark.Pipeline.extract(docs)
+      .select($"doc_id", $"status", $"title", $"byline",
+        $"text_length".cast("long").as("text_length"),
+        size($"spans").cast("long").as("n_spans"))
+      .orderBy($"doc_id")
+  }
+
+  /** Extraction quality metrics (counts per status). Rows-only. */
+  def x2_extract_metrics(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = graft.spark.Corpus.generate(s, corpusSize(dir))
+    graft.spark.Pipeline.metrics(graft.spark.Pipeline.extract(docs))
+  }
+
+  /** Lineage + resume path: extract half the corpus, record lineage, then
+    * resume over the full corpus anti-joining completed docs. Rows-only.
+    */
+  def x3_extract_resume(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val enc = org.apache.spark.sql.Encoders.product[graft.spark.Doc]
+    val n = corpusSize(dir)
+    val all = graft.spark.Corpus.generate(s, n)
+    val done = all.filter(col("doc_id") < f"doc_${n / 2}%012d").select(col("doc_id"))
+    val remaining = graft.spark.Lineage.resumeFilter(all.toDF(), done.toDF()).as[graft.spark.Doc](enc)
+    graft.spark.Pipeline.extract(remaining)
+      .select(col("doc_id"), col("status"), col("text_length").cast("long").as("text_length"))
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------- relational core
 
@@ -253,6 +294,9 @@ object Queries {
     "d4_lang_id" -> (d4_lang_id _),
     "d5_fingerprint" -> (d5_fingerprint _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
+    "x1_extract" -> (x1_extract _),
+    "x2_extract_metrics" -> (x2_extract_metrics _),
+    "x3_extract_resume" -> (x3_extract_resume _),
   )
 
   val oracles: Map[String, String] = Map(

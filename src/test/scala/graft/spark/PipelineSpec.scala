@@ -1,0 +1,102 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("span assemble/decompose round trip preserves media positions") {
+    val html = "<div><p>hello</p><img src=\"a.jpg\"><p>world</p>" +
+      "<iframe src=\"https://www.youtube.com/embed/x\"></iframe><p>end</p></div>"
+    val spans = Spans.decomposeHtml(html)
+    assert(spans.count(_.kind == "img") == 1)
+    assert(spans.count(_.kind == "iframe") == 1)
+    assert(spans.map(_.offset) == spans.indices)
+    val re = Spans.assembleHtml(spans)
+    assert(re.contains("<img src=\"a.jpg\">"))
+    assert(re.contains("<p>hello</p>"))
+    assert(re.indexOf("hello") < re.indexOf("a.jpg"))
+    assert(re.indexOf("a.jpg") < re.indexOf("world"))
+  }
+
+  test("corpus generation is deterministic") {
+    val (h1, s1) = Corpus.docHtml(42L, 7L, 0.0)
+    val (h2, s2) = Corpus.docHtml(42L, 7L, 0.0)
+    assert(h1 == h2)
+    assert(s1 == s2)
+    val (h3, _) = Corpus.docHtml(42L, 8L, 0.0)
+    assert(h1 != h3)
+  }
+
+  test("end-to-end: generate → extract → spans + metadata populated") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Corpus.generate(spark, 24, seed = 42L, oversizeFraction = 0.0, nPartitions = 4)
+    val out = Pipeline.extract(docs, Pipeline.Config(nSalts = 8)).collect()
+    assert(out.length == 24)
+    val ok = out.filter(_.status == "ok")
+    assert(ok.length >= 20, s"statuses: ${out.map(_.status).groupBy(identity).view.mapValues(_.length).toMap}")
+    // extraction must strip chrome: no nav/footer text in spans
+    val allText = ok.flatMap(_.spans).filter(_.kind == "text").map(_.text).mkString(" ")
+    assert(!allText.contains("Copyright Example Site"))
+    // metadata flows through
+    assert(ok.forall(_.title != null))
+    assert(ok.count(_.byline != null) >= ok.length / 2)
+    // media spans survive inline with absolute refs
+    val media = ok.flatMap(_.spans).filter(_.kind == "img")
+    assert(media.nonEmpty)
+    assert(media.forall(_.media_ref.startsWith("https://media.example/")))
+    // span order is 0-based sequential per doc
+    ok.foreach(d => assert(d.spans.map(_.order) == d.spans.indices))
+  }
+
+  test("extraction is deterministic across runs and partitionings") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val a = Pipeline.extract(Corpus.generate(spark, 12, nPartitions = 2), Pipeline.Config(nSalts = 4))
+      .collect().sortBy(_.doc_id).map(d => (d.doc_id, d.spans, d.title))
+    val b = Pipeline.extract(Corpus.generate(spark, 12, nPartitions = 6), Pipeline.Config(nSalts = 16))
+      .collect().sortBy(_.doc_id).map(d => (d.doc_id, d.spans, d.title))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("lineage rows cover all docs; resume filter drops completed work") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Corpus.generate(spark, 16, nPartitions = 4)
+    val (extracted, lineage) = Pipeline.extractWithLineage(docs, "run-1", Pipeline.Config(nSalts = 4))
+    val lrows = lineage.collect()
+    assert(lrows.map(_.n_docs).sum == 16)
+    val done = docs.limit(8).select("doc_id")
+    val remaining = Lineage.resumeFilter(docs.toDF(), done).count()
+    assert(remaining == 8)
+    extracted.unpersist()
+  }
+
+  test("poison rows yield error status, never throw") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val bad = Seq(
+      Doc("bad_1", Seq(SpanIn("text", null, null, 0))),
+      Doc("bad_2", Seq(SpanIn("text", "<div><p>" + ("x" * 10), null, 0))),
+      Doc("bad_3", Nil)).toDS()
+    val out = Pipeline.extract(bad, Pipeline.Config(nSalts = 2)).collect()
+    assert(out.length == 3)
+    assert(out.forall(d => d.status != null))
+  }
+}
