@@ -27,7 +27,7 @@ object BenchScaling {
   }
 
   def main(args: Array[String]): Unit = {
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     val low = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "8").toInt
     val high = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIGH", "32").toInt
     val corpusPath = "target/bench_corpus"

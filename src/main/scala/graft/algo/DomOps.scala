@@ -48,7 +48,45 @@ object DomOps {
     if (normalizeSpaces) Dom.normalizeWhitespace(raw) else raw.trim
   }
 
-  def textLength(dom: Dom, id: Int): Int = charLen(innerText(dom, id))
+  /** Code-point length of innerText WITHOUT building the string —
+    * called per node in scoring/cleanup loops, so this is the hottest
+    * path in the engine; allocation here throttles 32-way scaling.
+    */
+  def textLength(dom: Dom, id: Int): Int = {
+    // state packed in a long: low 32 = count, bit 32 = lastWs, bit 33 = anyContent
+    var count = 0
+    var lastWs = true // leading trim
+    var pendingSpace = false
+    def walk(node: Int): Unit = {
+      var c = dom.firstChild(node)
+      while (c != -1) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length) {
+              val ch = s.charAt(i)
+              if (Dom.isWhitespace(ch)) {
+                if (!lastWs) pendingSpace = true
+                lastWs = true
+              } else {
+                if (pendingSpace) { count += 1; pendingSpace = false }
+                // code-point counting: skip low surrogate
+                if (!Character.isLowSurrogate(ch)) count += 1
+                lastWs = false
+              }
+              i += 1
+            }
+          case Dom.Element => walk(c)
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
+    }
+    if (dom.kind(id) == Dom.Text) return charLen(Dom.normalizeWhitespace(dom.text(id)))
+    walk(id)
+    count
+  }
 
   /** Count comma-like characters (Readability.js _getCharCount analog with
     * the extended comma set, `ContentExtractor.swift:646-656`).

@@ -240,12 +240,15 @@ final class Grab(
   }
 
   private def isValidByline(node: Int, ms: String): Boolean = {
-    if (shouldRejectBylineNode(node, ms)) return false
+    // cheap signals first: this runs for every element of every pass, so
+    // the subtree-text and selector work must stay off the common path
     val rel = Option(dom.attr(node, "rel")).getOrElse("").toLowerCase
     val itemprop = Option(dom.attr(node, "itemprop")).getOrElse("").toLowerCase
+    if (!(rel == "author" || itemprop.contains("author") || Config.byline.matcher(ms).find()))
+      return false
+    if (shouldRejectBylineNode(node, ms)) return false
     val len = charLen(sTrim(innerText(dom, node)))
-    (rel == "author" || itemprop.contains("author") || Config.byline.matcher(ms).find()) &&
-      len > 0 && len < 100
+    len > 0 && len < 100
   }
 
   private def findItemPropNameNode(node: Int): Int = {
@@ -484,21 +487,48 @@ final class Grab(
     */
   private def scoreElement(el: Int): Double = {
     if (!isProbablyVisible(dom, el)) return 0
-    val text = innerText(dom, el)
-    val textLen = charLen(text)
-    if (textLen < 25) return 0
+    // fused single pass over the subtree's text: normalized code-point
+    // length + comma-separated non-empty segment count, no string built
+    var textLen = 0
     var segments = 0
-    var i = 0
-    var segHasContent = false
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (c == ',' || c == '，') {
-        if (segHasContent) segments += 1
-        segHasContent = false
-      } else segHasContent = true
-      i += 1
+    var segHasContent = false // non-empty in the normalized string
+    var lastWs = true // leading-trim state
+    var pendingSpace = false
+    def walk(node: Int): Unit = {
+      var c = dom.firstChild(node)
+      while (c != -1) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length) {
+              val ch = s.charAt(i)
+              if (ch == ',' || ch == '，') {
+                if (pendingSpace) { textLen += 1; pendingSpace = false; segHasContent = true }
+                if (segHasContent) segments += 1
+                segHasContent = false
+                textLen += 1
+                lastWs = false
+              } else if (Dom.isWhitespace(ch)) {
+                if (!lastWs) pendingSpace = true
+                lastWs = true
+              } else {
+                if (pendingSpace) { textLen += 1; pendingSpace = false; segHasContent = true }
+                if (!Character.isLowSurrogate(ch)) textLen += 1
+                segHasContent = true
+                lastWs = false
+              }
+              i += 1
+            }
+          case Dom.Element => walk(c)
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
     }
+    walk(el)
     if (segHasContent) segments += 1
+    if (textLen < 25) return 0
     1.0 + segments + math.min(textLen / 100, 3).toDouble
   }
 

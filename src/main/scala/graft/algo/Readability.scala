@@ -47,13 +47,23 @@ object Readability {
     // 7. title
     val title = metadata.title.getOrElse(Metadata.extractTitle(dom))
 
-    // 8. grabArticle with clone-and-clean acceptance measurement
+    // 8. grabArticle with clone-and-clean acceptance measurement.
+    // The measured clone of the ACCEPTED pass is reused as the article
+    // content (prepArticle is deterministic for fixed flags, so cleaning
+    // the original again would do identical work twice — ~40% of per-doc
+    // cost on the hot path).
+    var lastClone = -1
+    var lastCloneSource = -1
+    var lastCloneFlags = -1
     def acceptanceTextLength(content: Int, flags: Int): Int = {
       val clone = dom.cloneSubtree(content)
       val cleaner = new Cleaner(dom, opts,
         allowConditionalCleaning = (flags & Config.FlagCleanConditionally) != 0,
         allowWeightClasses = (flags & Config.FlagWeightClasses) != 0)
       cleaner.prepArticle(clone)
+      lastClone = clone
+      lastCloneSource = content
+      lastCloneFlags = flags
       textLength(dom, clone)
     }
 
@@ -64,20 +74,21 @@ object Readability {
         return Failed("content_too_short", s"actual=$actual threshold=$threshold")
     }
 
-    // 9. clean article content
-    def cleanArticleContent(content: Int, flags: Int): String = {
+    // 9. clean article content (prepArticle skipped when the accepted
+    // pass's measured clone is reusable)
+    val reuseClone = grabResult.content == lastCloneSource &&
+      grabResult.flags == lastCloneFlags && lastClone != -1
+    val articleContent = if (reuseClone) lastClone else grabResult.content
+    val textContent = {
       val cleaner = new Cleaner(dom, opts,
-        allowConditionalCleaning = (flags & Config.FlagCleanConditionally) != 0,
-        allowWeightClasses = (flags & Config.FlagWeightClasses) != 0)
-      cleaner.prepArticle(content)
-      cleaner.postProcessArticle(content)
-      Metadata.removeTitleMatchedHeaders(dom, content, title)
-      cleaner.trimBoundaryNonContent(content)
-      innerText(dom, content)
+        allowConditionalCleaning = (grabResult.flags & Config.FlagCleanConditionally) != 0,
+        allowWeightClasses = (grabResult.flags & Config.FlagWeightClasses) != 0)
+      if (!reuseClone) cleaner.prepArticle(articleContent)
+      cleaner.postProcessArticle(articleContent)
+      Metadata.removeTitleMatchedHeaders(dom, articleContent, title)
+      cleaner.trimBoundaryNonContent(articleContent)
+      innerText(dom, articleContent)
     }
-
-    val articleContent = grabResult.content
-    val textContent = cleanArticleContent(articleContent, grabResult.flags)
 
     // 11. excerpt
     val excerpt = metadata.excerpt.orElse(Metadata.extractExcerpt(dom, articleContent))
