@@ -99,11 +99,10 @@ final class Cleaner(dom: Dom, opts: Options,
           signature.contains("robots-nocontent") || signature.contains("whats-next")
         val isSupplemental = signature.contains("supplemental")
         if (isExplicitNoContent || isSupplemental) {
-          val text = sTrim(innerText(dom, c))
-          val density = linkDensity(c)
+          val tlen = trimmedTextLength(dom, c)
           if (isSupplemental) {
-            if (Config.charLen(text) <= 1200 || density >= 0.2) dom.remove(c)
-          } else if (Config.charLen(text) <= 500) {
+            if (tlen <= 1200 || linkDensity(c) >= 0.2) dom.remove(c)
+          } else if (tlen <= 500) {
             rescueStoryContinueLinks(c)
             dom.remove(c)
           }
@@ -750,8 +749,8 @@ final class Cleaner(dom: Dom, opts: Options,
       if (dom.parent(div) != -1 && (dom.parent(div) != -1) &&
           !hasAncestorTag(dom, div, "table", 0) &&
           Select.selectFirst(dom, div, "img, picture, figure, video, iframe, object, embed, table, pre, code, ul, ol, blockquote") == -1) {
-        val text = sTrim(innerText(dom, div))
-        if (text.nonEmpty && Config.charLen(text) <= 90 &&
+        val tlen = trimmedTextLength(dom, div)
+        if (tlen > 0 && tlen <= 90 &&
             sel(div, "p").length <= 4 && sel(div, "a").length >= 2 &&
             linkDensity(div) >= 0.2)
           dom.remove(div)
@@ -798,8 +797,8 @@ final class Cleaner(dom: Dom, opts: Options,
           !hasAncestorTag(dom, list, "figure", 0) && !hasAncestorTag(dom, list, "table", 0)) {
         val items = dom.childElements(list)
         if (items.size == 1 && dom.tag(items(0)) == "li" && sel(list, "a").length == 1) {
-          val text = sTrim(innerText(dom, list))
-          if (text.nonEmpty && Config.charLen(text) <= 90) {
+          val tlen = trimmedTextLength(dom, list)
+          if (tlen > 0 && tlen <= 90) {
             val prev = prevElementSibling(list)
             val next = nextElementSibling(list)
             if (prev != -1 && dom.tag(prev) == "p" && next != -1 && dom.tag(next) == "p")
@@ -837,8 +836,7 @@ final class Cleaner(dom: Dom, opts: Options,
     while (i >= 0) {
       val div = divs(i)
       if (dom.parent(div) != -1 && (dom.parent(div) != -1)) {
-        val text = sTrim(innerText(dom, div))
-        if (text.isEmpty &&
+        if (textEmpty(dom, div) &&
             Select.selectFirst(dom, div, "img, picture, figure, video, iframe, object, embed, table") == -1)
           dom.remove(div)
       }
@@ -855,8 +853,9 @@ final class Cleaner(dom: Dom, opts: Options,
       val note = notes(i)
       if (dom.parent(note) != -1 && (dom.parent(note) != -1) &&
           Select.selectFirst(dom, note, "img, picture, figure, video, iframe, object, embed, table") == -1) {
-        val text = sTrim(innerText(dom, note))
-        if (text.nonEmpty && Config.charLen(text) <= 80) {
+        val tlen = trimmedTextLength(dom, note)
+        if (tlen > 0 && tlen <= 80) {
+          val text = sTrim(innerText(dom, note))
           val lower = text.toLowerCase
           if (lower.startsWith("main article:") || lower.startsWith("see also:"))
             dom.remove(note)
@@ -1017,8 +1016,7 @@ final class Cleaner(dom: Dom, opts: Options,
     while (i < ps.length) {
       val p = ps(i)
       if ((dom.parent(p) != -1)) {
-        val text = sTrim(innerText(dom, p))
-        if (text.isEmpty && sel(p, "img, embed, object, iframe").isEmpty) dom.remove(p)
+        if (textEmpty(dom, p) && sel(p, "img, embed, object, iframe").isEmpty) dom.remove(p)
       }
       i += 1
     }
@@ -1036,13 +1034,16 @@ final class Cleaner(dom: Dom, opts: Options,
     while (i < candidates.length) {
       val node = candidates(i)
       if ((dom.parent(node) != -1)) {
-        val text = sTrim(innerText(dom, node)).toLowerCase
-        if (text == "advertisement") dom.remove(node)
-        else {
-          val identity = (dom.idAttr(node) + " " + dom.className(node)).toLowerCase
-          if (adContainer.matcher(identity).find() && Config.charLen(text) <= 120 &&
-              Select.selectFirst(dom, node, "img, video, picture, figure, table, blockquote") == -1)
-            dom.remove(node)
+        val capped = innerTextCapped(dom, node, 130)
+        if (capped != null) {
+          val text = sTrim(capped).toLowerCase
+          if (text == "advertisement") dom.remove(node)
+          else {
+            val identity = (dom.idAttr(node) + " " + dom.className(node)).toLowerCase
+            if (adContainer.matcher(identity).find() && Config.charLen(text) <= 120 &&
+                Select.selectFirst(dom, node, "img, video, picture, figure, table, blockquote") == -1)
+              dom.remove(node)
+          }
         }
       }
       i += 1

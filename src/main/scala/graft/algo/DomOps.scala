@@ -88,6 +88,116 @@ object DomOps {
     count
   }
 
+  /** True iff the subtree's text is entirely Swift-whitespace (the
+    * `sTrim(innerText(…)).isEmpty` pattern) — allocation-free.
+    */
+  def textEmpty(dom: Dom, id: Int): Boolean = {
+    def walk(node: Int): Boolean = { // true = still empty
+      var c = dom.firstChild(node)
+      while (c != -1) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length) {
+              if (!isSwiftWs(s.charAt(i))) return false
+              i += 1
+            }
+          case Dom.Element => if (!walk(c)) return false
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
+      true
+    }
+    if (dom.kind(id) == Dom.Text) return sBlank(dom.text(id))
+    walk(id)
+  }
+
+  /** Code-point length of sTrim(innerText(…)) — normalized, then Swift
+    * whitespace (incl. U+00A0) trimmed at both ends — allocation-free.
+    */
+  def trimmedTextLength(dom: Dom, id: Int): Int = {
+    var count = 0
+    var lastWs = true
+    var pending = 0 // normalized chars not yet counted (trailing ws candidates)
+    def walk(node: Int): Unit = {
+      var c = dom.firstChild(node)
+      while (c != -1) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length) {
+              val ch = s.charAt(i)
+              if (Dom.isWhitespace(ch)) {
+                if (!lastWs) pending += 1 // collapsed space, maybe trailing
+                lastWs = true
+              } else if (isSwiftWs(ch)) {
+                // nbsp-like: survives normalization but trims at edges
+                if (count > 0 || pending > 0) pending += 1
+                lastWs = false
+              } else {
+                count += pending + 1
+                pending = 0
+                if (Character.isLowSurrogate(ch)) count -= 1
+                lastWs = false
+              }
+              i += 1
+            }
+          case Dom.Element => walk(c)
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
+    }
+    if (dom.kind(id) == Dom.Text) return charLen(sTrim(Dom.normalizeWhitespace(dom.text(id))))
+    walk(id)
+    count
+  }
+
+  /** innerText when the caller only cares about short strings: returns
+    * null as soon as the normalized text exceeds maxChars (subtree walk
+    * stops early).
+    */
+  def innerTextCapped(dom: Dom, id: Int, maxChars: Int): String = {
+    val sb = new java.lang.StringBuilder(math.min(maxChars + 8, 256))
+    var lastWs = true
+    var overflow = false
+    def walk(node: Int): Unit = {
+      var c = dom.firstChild(node)
+      while (c != -1 && !overflow) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length && !overflow) {
+              val ch = s.charAt(i)
+              if (Dom.isWhitespace(ch)) {
+                if (!lastWs) sb.append(' ')
+                lastWs = true
+              } else {
+                sb.append(ch)
+                lastWs = false
+                if (sb.length > maxChars + 1) overflow = true
+              }
+              i += 1
+            }
+          case Dom.Element => walk(c)
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
+    }
+    walk(id)
+    if (overflow) return null
+    // trailing collapsed space trim (leading handled by lastWs init)
+    var len = sb.length
+    while (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    sb.setLength(len)
+    sb.toString
+  }
+
   /** Count comma-like characters (Readability.js _getCharCount analog with
     * the extended comma set, `ContentExtractor.swift:646-656`).
     */
@@ -165,8 +275,7 @@ object DomOps {
     */
   def isElementWithoutContent(dom: Dom, id: Int): Boolean = {
     if (dom.kind(id) != Dom.Element) return false
-    val text = sTrim(innerText(dom, id))
-    if (text.nonEmpty) return false
+    if (!textEmpty(dom, id)) return false
     val total = dom.childCount(id)
     if (total == 0) return true
     val brHr = dom.getElementsByTag(id, "br").size + dom.getElementsByTag(id, "hr").size

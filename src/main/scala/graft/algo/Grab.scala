@@ -130,8 +130,12 @@ final class Grab(
     (articleContent, topCandidate, neededToCreate, articleDir)
   }
 
-  private def matchString(id: Int): String =
-    (dom.className(id) + " " + dom.idAttr(id)).toLowerCase
+  private def matchString(id: Int): String = {
+    val cls = dom.className(id)
+    val nid = dom.idAttr(id)
+    if (cls.isEmpty && nid.isEmpty) " " // most elements: no allocation
+    else (cls + " " + nid).toLowerCase
+  }
 
   // ------------------------------------------------------------------ G2
 

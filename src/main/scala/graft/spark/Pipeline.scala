@@ -32,33 +32,74 @@ object Pipeline {
       baseUrl: String = "https://corpus.example/doc.html",
       charThreshold: Int = 500,
       nSalts: Int = 128,
-      /** span-byte threshold above which a doc gets an oversize salt */
+      /** html-char threshold above which a doc is treated as oversize
+        * (salted-shuffle strategy only)
+        */
       oversizeBytes: Int = 1 << 20,
+      /** span-count threshold for the scan-aligned oversize split: cheap
+        * codegen'd `size(spans)` proxy for document work (~linear in
+        * spans for interleaved corpora), evaluated before any typed
+        * deserialization so each row is assembled exactly once
+        */
+      oversizeSpans: Int = 256,
       /** hard cap: skip docs above this many HTML chars (0 = off) */
-      maxHtmlChars: Int = 32 << 20)
+      maxHtmlChars: Int = 32 << 20,
+      /** partitions for the oversize branch: bounds how many giant docs
+        * are in flight at once PER EXECUTOR — each holds a multi-hundred-MB
+        * working set (arena + snapshot + clone), so unbounded concurrency
+        * turns into GC pressure that stalls the small-doc tasks too
+        */
+      oversizePartitions: Int = 16,
+      /** full salted shuffle instead of scan-aligned + oversize split */
+      saltedShuffle: Boolean = false)
 
-  /** Salted, skew-aware repartition + typed extraction. */
+  /** Extraction plan (scan-aligned by default):
+    *
+    *   - spans→html assembly happens in the typed layer (plain string
+    *     concat; Catalyst higher-order functions are interpreted, not
+    *     codegen'd, and measured 10× slower here)
+    *   - small docs (≈99.9%) extract map-only, aligned with the scan
+    *     partitions — NO shuffle of the corpus
+    *   - oversize docs are rare but 100–1000× the work: they are split
+    *     out and repartitioned across a bounded number of partitions so a
+    *     giant page neither serializes a scan split nor floods executor
+    *     heaps (explicit skew handling)
+    */
   def extract(docs: Dataset[Doc], cfg: Config = Config())(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val opts = graft.algo.Options(charThreshold = cfg.charThreshold)
-    val oversizeSalts = math.max(cfg.nSalts / 8, 4)
 
-    val salted = docs.toDF()
-      .withColumn("span_bytes",
-        aggregate(col("spans"), lit(0L), (acc, s) =>
-          acc + coalesce(length(s.getField("text")).cast("long"), lit(0L))
-              + coalesce(length(s.getField("media_ref")).cast("long"), lit(0L))))
-      .withColumn("salt",
-        when(col("span_bytes") > cfg.oversizeBytes,
-          // oversize docs spread over their own salt range
-          lit(cfg.nSalts) + pmod(xxhash64(col("doc_id")), lit(oversizeSalts)))
-          .otherwise(pmod(xxhash64(col("doc_id")), lit(cfg.nSalts))))
-      .repartition(col("salt"))
-      .drop("span_bytes", "salt")
-      .as[Doc]
+    def run(ds: Dataset[Doc]): Dataset[ExtractedDoc] =
+      ds.mapPartitions { it =>
+        it.map { doc =>
+          Spans.extractFromHtml(doc.doc_id, Spans.assembleHtml(doc.spans),
+            cfg.baseUrl, opts, cfg.maxHtmlChars)
+        }
+      }
 
-    salted.mapPartitions { it =>
-      it.map(doc => Spans.extractOne(doc, cfg.baseUrl, opts, cfg.maxHtmlChars))
+    if (cfg.saltedShuffle) {
+      val prepared: Dataset[(String, String)] =
+        docs.map(d => (d.doc_id, Spans.assembleHtml(d.spans)))
+      val oversizeSalts = math.max(cfg.nSalts / 8, 4)
+      val salted = prepared
+        .withColumn("salt",
+          when(length(col("_2")) > cfg.oversizeBytes,
+            lit(cfg.nSalts) + pmod(xxhash64(col("_1")), lit(oversizeSalts)))
+            .otherwise(pmod(xxhash64(col("_1")), lit(cfg.nSalts))))
+        .repartition(col("salt"))
+        .select(col("_1"), col("_2")).as[(String, String)]
+      salted.mapPartitions { it =>
+        it.map { case (id, html) =>
+          Spans.extractFromHtml(id, html, cfg.baseUrl, opts, cfg.maxHtmlChars)
+        }
+      }
+    } else {
+      // codegen'd pre-typed split; each branch deserializes + assembles
+      // only its own rows
+      val small = docs.filter(size(col("spans")) <= cfg.oversizeSpans).as[Doc]
+      val big = docs.filter(size(col("spans")) > cfg.oversizeSpans).as[Doc]
+        .repartition(cfg.oversizePartitions)
+      run(small).union(run(big))
     }
   }
 

@@ -101,10 +101,14 @@ object Spans {
     * status/error columns (a bad row must not kill a 10^12-doc job).
     */
   def extractOne(doc: Doc, baseUrl: String, opts: graft.algo.Options,
-      maxHtmlBytes: Int = 0): ExtractedDoc = {
+      maxHtmlBytes: Int = 0): ExtractedDoc =
+    extractFromHtml(doc.doc_id, assembleHtml(doc.spans), baseUrl, opts, maxHtmlBytes)
+
+  def extractFromHtml(docId: String, html: String, baseUrl: String,
+      opts: graft.algo.Options, maxHtmlBytes: Int = 0): ExtractedDoc = {
+    val doc = Doc(docId, Nil) // id carrier for error paths
     try {
-      val html = assembleHtml(doc.spans)
-      if (maxHtmlBytes > 0 && html.length > maxHtmlBytes) {
+      if (maxHtmlBytes > 0 && html != null && html.length > maxHtmlBytes) {
         return ExtractedDoc(doc.doc_id, Nil, null, null, null, null, null, null, null,
           0, "oversize_skipped", s"html_chars=${html.length}")
       }
