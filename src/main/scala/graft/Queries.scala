@@ -248,6 +248,63 @@ object Queries {
         md5(regexp_replace(lower($"text"), "\\s+", " ")).as("norm_fingerprint"))
       .orderBy($"doc_id")
 
+  /** MinHash signatures (md5-family → portable to the DuckDB oracle):
+    * first 4 signature slots per document over 5-char shingles.
+    */
+  def d6_minhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.spark.Dedup.minhashSignature(
+      graft.spark.Dedup.shingles(col("text"), 5), 4)
+    t(s, dir, "documents")
+      .select($"doc_id",
+        sig.getItem(0).as("mh0"), sig.getItem(1).as("mh1"),
+        sig.getItem(2).as("mh2"), sig.getItem(3).as("mh3"))
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs (rows-only: banding uses
+    * the same md5 family but the multi-stage join is validated by the
+    * Jaccard ground truth in tests rather than the SQL oracle).
+    */
+  def d7_minhash_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.spark.Dedup.minhashLshPairs(t(s, dir, "documents"))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** Exact 5-gram Jaccard over all pairs with sim ≥ 0.2 (small table;
+    * oracle replays with DuckDB list functions).
+    */
+  def d8_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.spark.Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.2)
+      .orderBy($"doc_a", $"doc_b")
+
+  /** SimHash fingerprints (rows-only: xxhash64 family is Spark-specific). */
+  def d9_simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($"doc_id", graft.spark.Dedup.simhash($"text").as("simhash"))
+      .orderBy($"doc_id")
+
+  /** LSH-bucketed approximate cosine top-k (the ANN scale path; rows-only —
+    * recall vs the exact baseline is asserted in AnnSpec).
+    */
+  def e2_cosine_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.spark.Ann.lshCosineTopK(emb, emb.filter($"vec_id" < 5), k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Multimodal plumbing: media side-table from extraction → batched
+    * (stubbed) decode → features + content dedup. Rows-only.
+    */
+  def m1_media_features(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = graft.spark.Corpus.generate(s, corpusSize(dir))
+    val extracted = graft.spark.Pipeline.extract(docs)
+    val media = graft.spark.Multimodal.mediaTable(extracted)
+    graft.spark.Multimodal.extractFeatures(media)
+      .select($"doc_id", $"media_ref", $"kind", $"n_bytes", $"content_hash",
+        $"width", $"height")
+      .orderBy($"doc_id", $"media_ref")
+  }
+
   /** Brute-force cosine top-k over the embeddings table: the ANN baseline.
     * Query set = vec_id < 5 crossed with all candidates; dot products via
     * zip_with + aggregate (codegen'd higher-order functions, no UDF). At
@@ -293,7 +350,13 @@ object Queries {
     "d3_quality" -> (d3_quality _),
     "d4_lang_id" -> (d4_lang_id _),
     "d5_fingerprint" -> (d5_fingerprint _),
+    "d6_minhash" -> (d6_minhash _),
+    "d7_minhash_lsh_pairs" -> (d7_minhash_lsh_pairs _),
+    "d8_jaccard_pairs" -> (d8_jaccard_pairs _),
+    "d9_simhash" -> (d9_simhash _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
+    "e2_cosine_lsh" -> (e2_cosine_lsh _),
+    "m1_media_features" -> (m1_media_features _),
     "x1_extract" -> (x1_extract _),
     "x2_extract_metrics" -> (x2_extract_metrics _),
     "x3_extract_resume" -> (x3_extract_resume _),
@@ -383,6 +446,34 @@ object Queries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 4, 1)),
+        |      i -> substring(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 5))) AS sset
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(sset, s -> md5('0#' || s))) AS mh0,
+        |  list_min(list_transform(sset, s -> md5('1#' || s))) AS mh1,
+        |  list_min(list_transform(sset, s -> md5('2#' || s))) AS mh2,
+        |  list_min(list_transform(sset, s -> md5('3#' || s))) AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "d8_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 4, 1)),
+        |      i -> substring(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 5))) AS sset
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1), 4) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "e1_cosine_topk" ->
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,146 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Event
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+      (3L, "completely different content about databases and distributed systems"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (5L, "yet another unrelated string talking about weather patterns")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash-lsh finds near and exact duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near dup pair missing: $pairs")
+    assert(!pairs.contains((3L, 5L)), s"unrelated pair matched: $pairs")
+  }
+
+  test("jaccard pairs agree with set semantics") {
+    val rows = Dedup.jaccardPairs(docsDf, threshold = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 4L)) == 1.0) // identical
+    assert(rows((1L, 2L)) > 0.8) // near dup
+    assert(rows((3L, 5L)) < 0.2) // unrelated
+  }
+
+  test("simhash: near-dups have small hamming distance") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val h = docsDf.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(4L)) == 0)
+    assert(ham(h(1L), h(2L)) <= 8)
+    assert(ham(h(1L), h(3L)) > 10)
+  }
+
+  test("ann: lsh top-k achieves high recall vs exact baseline") {
+    val s = spark
+    import s.implicits._
+    // deterministic clustered vectors
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(3)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val vecs = (0 until 60).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val exact = Ann.cosineTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshCosineTopK(vecs, queries, 10, nTables = 12, nBits = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
+  test("streaming: windowed counts with watermark over MemoryStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 11, "click", 2.0),
+      Event(3, ts(70), 10, "view", 5.0))
+    q.processAllAvailable()
+    val rows = s.sql("select event_type, n_events, sum_value from win_counts").collect()
+    assert(rows.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 && r.getDouble(2) == 3.0))
+    assert(rows.exists(r => r.getString(0) == "view" && r.getLong(1) == 1))
+    q.stop()
+  }
+
+  test("streaming: stateful sessionization closes sessions after gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.EventStream.sessionize(mem.toDS())(s)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L * 48 + min * 60_000L)
+    // two bursts for user 10, 90 minutes apart → first session closes
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(95), 10, "click", 4.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(200), 99, "view", 1.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = s.sql("select user_id, n_events, total_value from sessions where closed").collect()
+    assert(rows.exists(r => r.getLong(0) == 10 && r.getLong(1) == 2 && r.getDouble(2) == 3.0),
+      s"got: ${rows.mkString(",")}")
+    q.stop()
+  }
+
+  test("multimodal: media table → stubbed decode → features + dedup") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Corpus.generate(spark, 30, nPartitions = 2)
+    val extracted = Pipeline.extract(docs, Pipeline.Config(nSalts = 4))
+    val media = Multimodal.mediaTable(extracted)
+    val features = Multimodal.extractFeatures(media).collect()
+    assert(features.nonEmpty)
+    assert(features.forall(_.features.length == 16))
+    assert(features.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    assert(features.forall(_.content_hash.length == 32))
+    // determinism: same ref → same features
+    val byRef = features.groupBy(_.media_ref)
+    byRef.values.foreach { g =>
+      assert(g.map(_.content_hash).distinct.length == 1)
+    }
+  }
+}
