@@ -14,7 +14,9 @@ final class Grab(
     opts: Options,
     articleTitle: String,
     /** clone-and-clean text length for pass acceptance (G1). */
-    acceptanceTextLength: (Int, Int) => Int) {
+    acceptanceTextLength: (Int, Int) => Int,
+    /** site-rule hook: byline extracted but container kept in the DOM */
+    keepBylineContainer: Int => Boolean = _ => false) {
 
   import Config._
 
@@ -217,7 +219,7 @@ final class Grab(
         val ms = matchString(node)
         val byline = checkByline(node, ms)
         if (byline.isDefined) {
-          dom.remove(node)
+          if (!keepBylineContainer(node)) dom.remove(node)
           return byline
         }
       }
@@ -772,10 +774,13 @@ final class Grab(
         }
       }
       if (append) {
-        // alter non-exception tags to div, then MOVE into articleContent
-        var toAppend = sibling
-        if (!Config.alterToDivExceptions.contains(dom.tag(sibling)))
-          toAppend = setNodeTag(dom, sibling, "div")
+        // CLONE into articleContent (the reference clones via
+        // alterToDivIfNeeded — the original body stays intact so later
+        // document-level site-rule queries still see the whole page),
+        // retagging non-exception tags to div
+        val toAppend = dom.cloneSubtree(sibling)
+        if (!Config.alterToDivExceptions.contains(dom.tag(toAppend)))
+          dom.tag(toAppend) = "div"
         dom.appendChild(articleContent, toAppend)
       }
       i += 1

