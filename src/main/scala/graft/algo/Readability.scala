@@ -106,6 +106,7 @@ object Readability {
     val post = new Post(dom, opts, docLocation)
     post.fixRelativeUris(articleContent)
     post.simplifyNestedElements(articleContent)
+    SiteRules.applySerializationRules(articleContent, siteCtx)
     post.normalizeSplitPrintInfo(articleContent)
     if (!opts.keepClasses) {
       val preserved = (Config.classesToPreserveDefault ++ opts.classesToPreserve).toSet

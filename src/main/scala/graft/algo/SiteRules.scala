@@ -50,6 +50,208 @@ object SiteRules {
       Select.selectFirst(dom, profile, "time[datetime], time") != -1
   }
 
+  // -------------------------------------------------------- serialization
+
+  /** `SiteRuleRegistry.applySerializationRules` (`:38-61`) — registry
+    * order preserved; unported rules are noted for later tiers.
+    */
+  def applySerializationRules(articleContent: Int, ctx: Ctx): Unit = {
+    // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
+    telegraphCaptionOnlyFigure(articleContent, ctx)
+    // CityLabHeadlineTimestampRule, BuzzFeedLeadImageSuperlistRule: later tier
+    arsIntroHeaderWrapper(articleContent, ctx)
+    // FirefoxNightlyHeaderPlaceholderRule, Wikipedia*: later tier
+    eHowFoundHelpfulHeader(articleContent, ctx)
+    // QQVoteContainerRule: later tier
+    breitbartHeaderMedia(articleContent, ctx)
+    // QuantaTopReactIDRule, HukumusumeLegacyFileURLRule (generic in Urls),
+    // XkcdComicImageSourceRule, XeiasoArticleRule: later tier
+  }
+
+  /** `ArsIntroHeaderWrapperRule`: wrap intro h2/h4 + articleBody in
+    * header/div structure.
+    */
+  private def arsIntroHeaderWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val body = Select.selectFirst(dom, articleContent, "div[itemprop=articleBody]")
+    if (body == -1) return
+    val container = dom.parent(body)
+    if (container == -1) return
+    var introP = -1
+    var introH2 = -1
+    var introH4 = -1
+    val ps = Select.select(dom, articleContent, "p")
+    var i = 0
+    while (i < ps.length && introP == -1) {
+      val p = ps(i)
+      if (dom.parent(p) == container) {
+        val h2 = Select.selectFirst(dom, p, "h2[itemprop=description]")
+        if (h2 != -1) {
+          introP = p
+          introH2 = h2
+          introH4 = Select.selectFirst(dom, p, "h4")
+        }
+      }
+      i += 1
+    }
+    if (introP == -1 || introH2 == -1) return
+    val wrapper = dom.newElement("div")
+    val header = dom.newElement("header")
+    if (introH4 != -1) dom.appendChild(header, introH4)
+    dom.appendChild(header, introH2)
+    dom.remove(introP)
+    dom.insertBefore(body, wrapper)
+    dom.appendChild(wrapper, header)
+    dom.appendChild(wrapper, body)
+    // clear the known stray "kevin" figcaption
+    val figcaps = Select.select(dom, wrapper, "figcaption")
+    i = 0
+    while (i < figcaps.length) {
+      val fc = figcaps(i)
+      val t = sTrim(innerText(dom, fc).replaceAll("\\s+", " "))
+      if (Config.charLen(t) <= 24 && t.equalsIgnoreCase("kevin")) {
+        var c = dom.firstChild(fc)
+        while (c != -1) { val n = dom.nextSib(c); dom.remove(c); c = n }
+      }
+      i += 1
+    }
+    val allPs = Select.select(dom, articleContent, "p")
+    i = allPs.length - 1
+    while (i >= 0) {
+      val p = allPs(i)
+      if (dom.parent(p) != -1 && textEmpty(dom, p)) dom.remove(p)
+      i -= 1
+    }
+  }
+
+  /** `BreitbartHeaderMediaRule`: lift the featured figure + timestamps out
+    * of the post header and flatten the article wrapper.
+    */
+  private def breitbartHeaderMedia(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val article = Select.selectFirst(dom, articleContent, "article[id^=post-]")
+    if (article == -1) return
+    val header = Select.selectFirst(dom, article, "> header")
+    if (header == -1) return
+    val figure = Select.selectFirst(dom, header, "figure")
+    if (figure == -1) return
+    val entryContent = dom.childElements(article).find { child =>
+      dom.tag(child) == "div" && Select.select(dom, child, "p").length >= 3
+    }.getOrElse(-1)
+    if (entryContent == -1) return
+    val leadBlock = dom.newElement("div")
+    val bodyBlock = dom.cloneSubtree(entryContent)
+    val figureClone = dom.cloneSubtree(figure)
+    breitbartNormalizeFigure(dom, figureClone)
+    dom.appendChild(leadBlock, figureClone)
+    val times = Select.select(dom, header, "time[datetime]")
+    var i = 0
+    while (i < times.length) {
+      dom.appendChild(leadBlock, dom.cloneSubtree(times(i)))
+      i += 1
+    }
+    dom.insertBefore(article, leadBlock)
+    dom.insertBefore(article, bodyBlock)
+    dom.remove(article)
+  }
+
+  private def breitbartNormalizeFigure(dom: Dom, figure: Int): Unit = {
+    val container = Select.selectFirst(dom, figure, "> div")
+    if (container == -1) return
+    val img = Select.selectFirst(dom, container, "> img")
+    if (img != -1) {
+      val p = dom.newElement("p")
+      dom.appendChild(p, img)
+      dom.prependChild(container, p)
+    }
+    val attribution = Select.selectFirst(dom, container, "> div.attribution")
+    if (attribution != -1) {
+      val text = sTrim(innerText(dom, attribution))
+      val p = dom.newElement("p")
+      if (text.nonEmpty) dom.appendChild(p, dom.newText(text))
+      dom.replaceWith(attribution, p)
+    }
+  }
+
+  /** `TelegraphCaptionOnlyFigureRule`: drop media-less caption figures and
+    * the empty paragraph shells around them.
+    */
+  private def telegraphCaptionOnlyFigure(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val figures = Select.select(dom, articleContent, "figure")
+    var i = figures.length - 1
+    while (i >= 0) {
+      val figure = figures(i)
+      if (dom.parent(figure) != -1 &&
+          Select.selectFirst(dom, figure, "img, picture, video, iframe, object, embed, svg") == -1 &&
+          Select.selectFirst(dom, figure, "figcaption > span[itemprop=caption]") != -1 &&
+          Select.selectFirst(dom, figure, "figcaption > span[itemprop=copyrightHolder]") != -1) {
+        val previous = prevElemSib(dom, figure)
+        val next = nextElemSib(dom, figure)
+        val parent = dom.parent(figure)
+        dom.remove(figure)
+        for (sib <- Seq(previous, next) if sib != -1 && dom.kind(sib) == Dom.Element &&
+            dom.tag(sib) == "p") {
+          val t = sTrim(innerText(dom, sib).replace('\u00A0', ' '))
+          if (t.isEmpty) dom.remove(sib)
+        }
+        if (parent != -1 && dom.kind(parent) == Dom.Element && dom.tag(parent) == "div" &&
+            isElementWithoutContent(dom, parent)) dom.remove(parent)
+        for (w <- Seq(previous, next).filter(_ != -1).map(dom.parent).filter(_ != -1)
+            if dom.kind(w) == Dom.Element && dom.tag(w) == "div" &&
+              dom.idAttr(w).trim.isEmpty && dom.className(w).trim.isEmpty) {
+          val children = dom.childElements(w)
+          val allEmptyPs = children.nonEmpty && children.forall { c =>
+            dom.tag(c) == "p" && sTrim(innerText(dom, c).replace('\u00A0', ' ')).isEmpty
+          }
+          if (allEmptyPs) dom.remove(w)
+        }
+      }
+      i -= 1
+    }
+  }
+
+  /** `EHowFoundHelpfulHeaderRule` (minus legacy-headline helper for now):
+    * wrap the "found this helpful" paragraph in a div inside its header.
+    */
+  private def eHowFoundHelpfulHeader(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val headers = Select.select(dom, articleContent, "header")
+    var i = 0
+    while (i < headers.length) {
+      val header = headers(i)
+      val children = dom.childElements(header)
+      if (children.size == 1 && dom.tag(children(0)) == "p") {
+        val only = children(0)
+        val t = sTrim(innerText(dom, only).replaceAll("\\s+", " ")).toLowerCase
+        if (t.contains("found this helpful")) {
+          val wrapper = dom.newElement("div")
+          dom.appendChild(wrapper, only)
+          dom.appendChild(header, wrapper)
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def prevElemSib(dom: Dom, id: Int): Int = {
+    var cur = dom.prevSib(id)
+    while (cur != -1) {
+      if (dom.kind(cur) == Dom.Element) return cur
+      cur = dom.prevSib(cur)
+    }
+    -1
+  }
+
+  private def nextElemSib(dom: Dom, id: Int): Int = {
+    var cur = dom.nextSib(id)
+    while (cur != -1) {
+      if (dom.kind(cur) == Dom.Element) return cur
+      cur = dom.nextSib(cur)
+    }
+    -1
+  }
+
   // ------------------------------------------------------------- byline
 
   /** `SiteRuleRegistry.applyBylineRules` (`SiteRuleRegistry.swift:63-84`);

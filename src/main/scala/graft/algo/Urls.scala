@@ -101,6 +101,11 @@ object Urls {
     }
     // reference's normalization: empty path with authority → "/"
     if (t.authority != null && t.path.isEmpty) t = t.copy(path = "/")
+    // WHATWG file-URL drive-letter normalization: /C| → /C:
+    if (t.scheme != null && t.scheme.equalsIgnoreCase("file") &&
+        t.path.length >= 3 && t.path.charAt(0) == '/' && t.path.charAt(2) == '|' &&
+        Character.isLetter(t.path.charAt(1)))
+      t = t.copy(path = "/" + t.path.charAt(1) + ":" + t.path.substring(3))
     t.render
   }
 }
