@@ -269,11 +269,14 @@ object Queries {
     graft.spark.Dedup.minhashLshPairs(t(s, dir, "documents"))
       .orderBy($"doc_a", $"doc_b")
 
-  /** Exact 5-gram Jaccard over all pairs with sim ≥ 0.2 (small table;
-    * oracle replays with DuckDB list functions).
+  /** Exact 5-gram Jaccard with sim ≥ 0.2 over a bounded doc subset — the
+    * all-pairs product is quadratic, so the exact variant is only ever run
+    * on a candidate set (here: doc_id < 300; at scale: LSH candidates from
+    * d7). Oracle replays with DuckDB list functions.
     */
   def d8_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.2)
+    graft.spark.Dedup.jaccardPairs(
+      t(s, dir, "documents").filter($"doc_id" < 300), threshold = 0.2)
       .orderBy($"doc_a", $"doc_b")
 
   /** SimHash fingerprints (rows-only: xxhash64 family is Spark-specific). */
@@ -465,7 +468,7 @@ object Queries {
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 4, 1)),
         |      i -> substring(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 5))) AS sset
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 300)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
         |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1), 4) AS jaccard

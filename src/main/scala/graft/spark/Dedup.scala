@@ -46,18 +46,69 @@ object Dedup {
     }: _*)
   }
 
+  /** JVM-side banded MinHash bucket hashes for one text (same md5-hex
+    * scheme as the column variant; interpreted Catalyst HOFs are ~50×
+    * slower here, so the signature step runs in the typed layer).
+    */
+  def bucketHashesJvm(text: String, shingleK: Int, nHashes: Int,
+      rowsPerBand: Int): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    def md5hex(s: String): String = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < d.length) {
+        out(i * 2) = hex((d(i) >> 4) & 0xf)
+        out(i * 2 + 1) = hex(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    val n = math.max(norm.length - shingleK + 1, 1)
+    val seen = new java.util.HashSet[String]()
+    val sig = Array.fill(nHashes)("￿")
+    var i = 0
+    while (i < n) {
+      val sh = norm.substring(i, math.min(i + shingleK, norm.length))
+      if (seen.add(sh)) {
+        var h = 0
+        while (h < nHashes) {
+          val v = md5hex(s"$h#$sh")
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val nBands = nHashes / rowsPerBand
+    Array.tabulate(nBands) { b =>
+      md5hex((b.toString +: (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))).mkString("|"))
+    }
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs over documents(doc_id,
-    * text): shingle → minhash → band → self-join on band bucket.
-    * Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    * text): shingle → minhash (typed layer) → band → self-join on band
+    * bucket. Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b (ids
+    * as strings).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 5, nHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sig = docs
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleK), nHashes).as("sig"))
-      .select(col("id"), posexplode(bandHashes(col("sig"), nHashes, rowsPerBand))
-        .as(Seq("band", "bucket")))
+      .select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          bucketHashesJvm(Option(text).getOrElse(""), shingleK, nHashes, rowsPerBand)
+            .iterator.zipWithIndex.map { case (bucket, band) => (id, band, bucket) }
+        }
+      }
+      .toDF("id", "band", "bucket")
     val a = sig.select(col("id").as("doc_a"), col("band"), col("bucket"))
     val b = sig.select(col("id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

@@ -37,10 +37,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("minhash-lsh finds near and exact duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashLshPairs(docsDf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 4L)), s"exact dup pair missing: $pairs")
-    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near dup pair missing: $pairs")
-    assert(!pairs.contains((3L, 5L)), s"unrelated pair matched: $pairs")
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("1", "4")), s"exact dup pair missing: $pairs")
+    assert(pairs.contains(("1", "2")) || pairs.contains(("2", "4")), s"near dup pair missing: $pairs")
+    assert(!pairs.contains(("3", "5")), s"unrelated pair matched: $pairs")
   }
 
   test("jaccard pairs agree with set semantics") {
