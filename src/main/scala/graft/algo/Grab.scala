@@ -166,12 +166,35 @@ final class Grab(
     if (t == "body" || t == "a") return false
     val itemprop = dom.attr(id, "itemprop")
     if (itemprop != null && itemprop.toLowerCase.contains("articlebody")) return false
+    if (shouldKeepFirefoxNightlyLayoutNode(id)) return false
     if (shouldKeepFootnoteSection(id, ms)) return false
     if (Config.unlikelyCandidates.matcher(ms).find() &&
         !Config.okMaybeItsACandidate.matcher(ms).find() &&
         !hasAncestorTag(dom, id, "table", 3) &&
         !hasAncestorTag(dom, id, "code", 3)) return true
     false
+  }
+
+  /** `NodeCleaner.swift:157-183`: Firefox Nightly keeps adjacent posts /
+    * comments inside the readable container.
+    */
+  private def shouldKeepFirefoxNightlyLayoutNode(id: Int): Boolean = {
+    val containerIds = Set("comments", "adjacent-posts")
+    var cursor = id
+    var mainContent = -1
+    var inProtected = containerIds.contains(dom.idAttr(id).trim.toLowerCase)
+    while (cursor != -1 && mainContent == -1) {
+      if (dom.kind(cursor) == Dom.Element) {
+        val cid = dom.idAttr(cursor).trim.toLowerCase
+        if (containerIds.contains(cid)) inProtected = true
+        if (cid == "content" && (dom.tag(cursor) == "main" || dom.tag(cursor) == "div"))
+          mainContent = cursor
+      }
+      if (mainContent == -1) cursor = dom.parent(cursor)
+    }
+    if (!inProtected || mainContent == -1) return false
+    Select.selectFirst(dom, mainContent,
+      "article[id^=post-] a[href*=bugzilla.mozilla.org], article[id^=post-] a[href*=blog.nightly.mozilla.org]") != -1
   }
 
   private def shouldKeepFootnoteSection(id: Int, ms: String): Boolean = {
