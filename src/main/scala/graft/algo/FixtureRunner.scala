@@ -87,20 +87,28 @@ object FixtureRunner {
           }
           i += 1
         }
+        // Assertion surface mirrors the reference suites: ex-pages assert
+        // title/byline (+excerpt when expected); the others assert
+        // title/byline/excerpt/siteName strictly and dir/lang/
+        // publishedTime only when the fixture records a value
+        // (`ExPagesCompatibilityTests.swift:36-46`,
+        // `RealWorldCompatibilityTests.swift:39-55`).
+        val exPages = dir.getParent.getFileName.toString == "ex-pages"
         val metaDiffs = List.newBuilder[String]
-        def cmp(field: String, actual: Option[String]): Unit = {
+        def cmp(field: String, actual: Option[String], onlyWhenExpected: Boolean = false): Unit = {
           val expectedV = metaField(metaJson, field).map(_.trim).filter(_.nonEmpty)
+          if (onlyWhenExpected && expectedV.isEmpty) return
           val actualV = actual.map(_.trim).filter(_.nonEmpty)
           if (expectedV != actualV)
             metaDiffs += s"$field: out=${actualV.getOrElse("∅")} exp=${expectedV.getOrElse("∅")}"
         }
         cmp("title", Some(result.title))
         cmp("byline", result.byline)
-        cmp("dir", result.dir)
-        cmp("lang", result.lang)
-        cmp("excerpt", result.excerpt)
-        cmp("siteName", result.siteName)
-        cmp("publishedTime", result.publishedTime)
+        cmp("dir", result.dir, onlyWhenExpected = true)
+        cmp("lang", result.lang, onlyWhenExpected = true)
+        cmp("excerpt", result.excerpt, onlyWhenExpected = exPages)
+        cmp("siteName", result.siteName, onlyWhenExpected = exPages)
+        cmp("publishedTime", result.publishedTime, onlyWhenExpected = true)
         FixtureResult(name, firstDiff.isEmpty, metaDiffs.result(), firstDiff,
           out.length, exp.length, "ok")
     }
