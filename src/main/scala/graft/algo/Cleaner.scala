@@ -8,7 +8,10 @@ import scala.collection.mutable.ArrayBuffer
   * Behavior anchor: `Sources/Readability/Internal/ArticleCleaner.swift`.
   */
 final class Cleaner(dom: Dom, opts: Options,
-    allowConditionalCleaning: Boolean, allowWeightClasses: Boolean) {
+    allowConditionalCleaning: Boolean, allowWeightClasses: Boolean,
+    /** site-rule dispatch: phase name + articleContent (registry phases
+      * `SiteRuleRegistry.swift:218-303`) */
+    siteRuleHook: (String, Int) => Unit = (_, _) => ()) {
 
   private val dataTables = new java.util.HashSet[Integer]()
 
@@ -979,8 +982,10 @@ final class Cleaner(dom: Dom, opts: Options,
   def postProcessArticle(articleContent: Int): Unit = {
     removeExtraBRs(articleContent)
     removeEmptyParagraphs(articleContent)
+    siteRuleHook("post-paragraph", articleContent)
     removeAdvertisementPlaceholders(articleContent)
     replaceH1WithH2(articleContent)
+    siteRuleHook("post-process", articleContent)
     handleSingleCellTables(articleContent)
   }
 

@@ -84,7 +84,9 @@ object Readability {
     val textContent = {
       val cleaner = new Cleaner(dom, opts,
         allowConditionalCleaning = (grabResult.flags & Config.FlagCleanConditionally) != 0,
-        allowWeightClasses = (grabResult.flags & Config.FlagWeightClasses) != 0)
+        allowWeightClasses = (grabResult.flags & Config.FlagWeightClasses) != 0,
+        siteRuleHook = (phase, node) =>
+          if (phase == "post-process") SiteRules.applyPostProcessRules(node, siteCtx))
       if (!reuseClone) cleaner.prepArticle(articleContent)
       cleaner.postProcessArticle(articleContent)
       Metadata.removeTitleMatchedHeaders(dom, articleContent, title)

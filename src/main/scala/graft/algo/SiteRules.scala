@@ -50,6 +50,121 @@ object SiteRules {
       Select.selectFirst(dom, profile, "time[datetime], time") != -1
   }
 
+  // ------------------------------------------------- cleaner postProcess
+
+  /** `.postProcess` phase of `articleCleanerRules` (`SiteRuleRegistry
+    * .swift:278-300`) — ported tier so far; order preserved.
+    */
+  def applyPostProcessRules(articleContent: Int, ctx: Ctx): Unit = {
+    // NYTimes*/Engadget*/Yahoo/CityLab/Verge/Liberation/DFarq/Substack/
+    // Xeiaso rules: later tier
+    wordPressPrevNextNavigation(articleContent, ctx)
+    johnDCookRelatedPosts(articleContent, ctx)
+    // MercurialExampleSectionRule: later tier
+    simonWillisonRecentArticles(articleContent, ctx)
+    tomRennerTagList(articleContent, ctx)
+    // WikipediaHermitianListPruneRule, EbbPreviousLinkRule,
+    // XkcdComicChromeCleanupRule: later tier
+  }
+
+  private def normText(dom: Dom, id: Int): String =
+    sTrim(innerText(dom, id).replaceAll("\\s+", " ")).toLowerCase
+
+  /** `SimonWillisonRecentArticlesRule`. */
+  private def simonWillisonRecentArticles(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val secondary0 = Select.selectFirst(dom, articleContent, "div#secondary")
+    if (secondary0 == -1) return
+    if (!normText(dom, secondary0).contains("this is a quotation collected by simon willison")) return
+    val recents = Select.select(dom, articleContent, "div#primary > div")
+    var i = recents.length - 1
+    while (i >= 0) {
+      val recent = recents(i)
+      val h2 = Select.selectFirst(dom, recent, "> h2")
+      if (h2 != -1 && sTrim(innerText(dom, h2)).equalsIgnoreCase("recent articles"))
+        dom.remove(recent)
+      i -= 1
+    }
+    val secondaries = Select.select(dom, articleContent, "div#secondary")
+    i = secondaries.length - 1
+    while (i >= 0) {
+      val sec = secondaries(i)
+      val summary = normText(dom, sec)
+      if (summary.contains("this is a quotation collected by simon willison") ||
+          Select.selectFirst(dom, sec, "a[rel=tag]") != -1)
+        dom.remove(sec)
+      i -= 1
+    }
+  }
+
+  /** `JohnDCookRelatedPostsRule`. */
+  private def johnDCookRelatedPosts(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val headings = Select.select(dom, articleContent, "h2")
+    var i = headings.length - 1
+    while (i >= 0) {
+      val heading = headings(i)
+      if (dom.parent(heading) != -1 && normText(dom, heading) == "related posts" &&
+          dom.kind(dom.parent(heading)) == Dom.Element && dom.tag(dom.parent(heading)) == "div") {
+        val list = nextElemSib(dom, heading)
+        if (list != -1 && dom.tag(list) == "ul") {
+          val items = dom.childElements(list).filter(c => dom.tag(c) == "li")
+          if (items.nonEmpty &&
+              items.forall(li => Select.selectFirst(dom, li, "a") != -1)) {
+            dom.remove(list)
+            dom.remove(heading)
+          }
+        }
+      }
+      i -= 1
+    }
+  }
+
+  /** `WordPressPrevNextNavigationRule`. */
+  private def wordPressPrevNextNavigation(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val divs = Select.select(dom, articleContent, "div")
+    var i = divs.length - 1
+    while (i >= 0) {
+      val container = divs(i)
+      if (dom.parent(container) != -1 &&
+          Select.selectFirst(dom, container, "img, picture, figure, video, iframe, object, embed, table") == -1 &&
+          (Select.selectFirst(dom, container, "a[rel=prev]") != -1 ||
+           Select.selectFirst(dom, container, "a[rel=next]") != -1)) {
+        val t = normText(dom, container)
+        if ((t.contains("previous post:") || t.contains("next post:")) &&
+            Config.charLen(t) <= 500)
+          dom.remove(container)
+      }
+      i -= 1
+    }
+  }
+
+  /** `TomRennerTagListRule`: trailing all-tag-link lists. */
+  private def tomRennerTagList(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val uls = Select.select(dom, articleContent, "ul")
+    var i = uls.length - 1
+    while (i >= 0) {
+      val ul = uls(i)
+      if (dom.parent(ul) != -1 && nextElemSib(dom, ul) == -1) {
+        val items = dom.childElements(ul)
+        if (items.nonEmpty && items.forall(c => dom.tag(c) == "li")) {
+          val allTagLinks = items.forall { li =>
+            val links = Select.select(dom, li, "a")
+            links.length == 1 && {
+              val href = Option(dom.attr(links(0), "href")).getOrElse("")
+              href.contains("/tags/") &&
+                sTrim(innerText(dom, li)) == sTrim(innerText(dom, links(0)))
+            }
+          }
+          if (allTagLinks) dom.remove(ul)
+        }
+      }
+      i -= 1
+    }
+  }
+
   // -------------------------------------------------------- serialization
 
   /** `SiteRuleRegistry.applySerializationRules` (`:38-61`) — registry
