@@ -81,6 +81,7 @@ final class Cleaner(dom: Dom, opts: Options,
     removeAll(root, "footer, aside, link")
     removeExplicitNoContentContainers(root)
     removeKnownWidgetElements(root)
+    siteRuleHook("unwanted-elements", root)
     removeDisallowedEmbeds(root)
     // hidden elements
     var cur = dom.nextInTree(root, root)

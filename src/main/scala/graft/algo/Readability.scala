@@ -40,6 +40,8 @@ object Readability {
 
     // 4. metadata BEFORE prepDocument (keeps ld+json scripts)
     val metadata = Metadata.extract(dom, opts.disableJsonLd)
+    metadata.byline = SiteRules.applyMetadataBylineRules(
+      metadata.byline, SiteRules.Ctx(dom, sourceUrl))
 
     // 5. prepDocument (P5–P8)
     Prep.prepDocument(dom)
@@ -52,6 +54,12 @@ object Readability {
     // content (prepArticle is deterministic for fixed flags, so cleaning
     // the original again would do identical work twice — ~40% of per-doc
     // cost on the hot path).
+    val siteCtx = SiteRules.Ctx(dom, sourceUrl)
+    val cleanerHook: (String, Int) => Unit = (phase, node) => phase match {
+      case "post-process" => SiteRules.applyPostProcessRules(node, siteCtx)
+      case "unwanted-elements" => SiteRules.applyUnwantedElementRules(node, siteCtx)
+      case _ => ()
+    }
     var lastClone = -1
     var lastCloneSource = -1
     var lastCloneFlags = -1
@@ -59,7 +67,8 @@ object Readability {
       val clone = dom.cloneSubtree(content)
       val cleaner = new Cleaner(dom, opts,
         allowConditionalCleaning = (flags & Config.FlagCleanConditionally) != 0,
-        allowWeightClasses = (flags & Config.FlagWeightClasses) != 0)
+        allowWeightClasses = (flags & Config.FlagWeightClasses) != 0,
+        siteRuleHook = cleanerHook)
       cleaner.prepArticle(clone)
       lastClone = clone
       lastCloneSource = content
@@ -67,7 +76,6 @@ object Readability {
       textLength(dom, clone)
     }
 
-    val siteCtx = SiteRules.Ctx(dom, sourceUrl)
     val grab = new Grab(dom, opts, title, acceptanceTextLength,
       keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx))
     val grabResult = grab.extract() match {
@@ -85,8 +93,7 @@ object Readability {
       val cleaner = new Cleaner(dom, opts,
         allowConditionalCleaning = (grabResult.flags & Config.FlagCleanConditionally) != 0,
         allowWeightClasses = (grabResult.flags & Config.FlagWeightClasses) != 0,
-        siteRuleHook = (phase, node) =>
-          if (phase == "post-process") SiteRules.applyPostProcessRules(node, siteCtx))
+        siteRuleHook = cleanerHook)
       if (!reuseClone) cleaner.prepArticle(articleContent)
       cleaner.postProcessArticle(articleContent)
       Metadata.removeTitleMatchedHeaders(dom, articleContent, title)
@@ -94,8 +101,10 @@ object Readability {
       innerText(dom, articleContent)
     }
 
-    // 11. excerpt
-    val excerpt = metadata.excerpt.orElse(Metadata.extractExcerpt(dom, articleContent))
+    // 11. excerpt (+ excerpt site rules when no metadata excerpt)
+    val excerpt = metadata.excerpt.orElse(
+      SiteRules.applyExcerptRules(
+        Metadata.extractExcerpt(dom, articleContent), articleContent, siteCtx))
 
     // 12. page wrapper (Z1)
     val pageWrapper = dom.newElement("div")

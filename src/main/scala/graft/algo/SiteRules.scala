@@ -50,6 +50,123 @@ object SiteRules {
       Select.selectFirst(dom, profile, "time[datetime], time") != -1
   }
 
+  // ----------------------------------------------------- antirez helpers
+
+  private def isAntirezDocument(ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    if (ctx.host == "antirez.com" || ctx.host.endsWith(".antirez.com")) return true
+    val titleEl = Select.selectFirst(dom, dom.document, "title")
+    val title = if (titleEl == -1) "" else sTrim(innerText(dom, titleEl)).toLowerCase
+    if (title.endsWith("- <antirez>")) return true
+    val headerTitle = Select.selectFirst(dom, dom.document, "header h1 > a[href=/]")
+    headerTitle != -1 && sTrim(innerText(dom, headerTitle)).equalsIgnoreCase("<antirez>")
+  }
+
+  private def isArticleMetadataInfoNode(dom: Dom, node: Int): Boolean = {
+    if (dom.kind(node) != Dom.Element || dom.tag(node) != "span") return false
+    val article = dom.parent(node)
+    if (article == -1 || dom.kind(article) != Dom.Element || dom.tag(article) != "article") return false
+    val children = dom.childElements(article)
+    if (children.isEmpty || children(0) != node) return false
+    if (!children.exists(c => dom.tag(c) == "pre")) return false
+    if (Select.selectFirst(dom, node, "span.username > a[href^=/user/], a[href^=/user/]") == -1) return false
+    if (Select.hasClassToken(dom.className(node), "info")) return true
+    innerText(dom, node).toLowerCase.contains("views.")
+  }
+
+  /** `AntirezBylineRule` + `FirefoxNightlyBylineRule` slot
+    * (`applyMetadataBylineRules`, `SiteRuleRegistry.swift:86-101`).
+    */
+  def applyMetadataBylineRules(byline: Option[String], ctx: Ctx): Option[String] = {
+    byline.map(sTrim).filter(_.nonEmpty) match {
+      case some @ Some(_) => some
+      case None =>
+        if (!isAntirezDocument(ctx)) return byline
+        val dom = ctx.dom
+        val infos = Select.select(dom, dom.document, "span.info")
+        val info = infos.find(isArticleMetadataInfoNode(dom, _)).getOrElse(-1)
+        if (info == -1) return byline
+        for (sel <- Seq("span.username > a[href^=/user/]", "a[href^=/user/]", "span.username")) {
+          val n = Select.selectFirst(dom, info, sel)
+          if (n != -1) {
+            val t = sTrim(innerText(dom, n))
+            if (t.nonEmpty) return Some(t)
+          }
+        }
+        byline
+    }
+  }
+
+  /** `AntirezExcerptRule` (`applyExcerptRules`): first paragraph-block of
+    * the article's pre content when no excerpt was found.
+    */
+  def applyExcerptRules(excerpt: Option[String], articleContent: Int, ctx: Ctx): Option[String] = {
+    excerpt.map(sTrim).filter(_.nonEmpty) match {
+      case some @ Some(_) => some
+      case None =>
+        if (!isAntirezDocument(ctx)) return excerpt
+        val dom = ctx.dom
+        val pres = Select.select(dom, articleContent, "pre")
+        var i = 0
+        while (i < pres.length) {
+          val raw = sTrim(dom.textContent(pres(i)))
+          if (raw.nonEmpty) {
+            val segments = raw.split("\\n")
+              .foldLeft(List(List.empty[String])) { (acc, line) =>
+                if (sTrim(line).isEmpty) Nil :: acc else (line :: acc.head) :: acc.tail
+              }
+              .reverse.map(seg => sTrim(seg.reverse.mkString("\n"))).filter(_.nonEmpty)
+            return Some(segments.headOption.getOrElse(raw))
+          }
+          i += 1
+        }
+        excerpt
+    }
+  }
+
+  // ------------------------------------------- cleaner unwanted-elements
+
+  /** `.unwantedElements` phase (`SiteRuleRegistry.swift:228-263`) — ported
+    * tier so far.
+    */
+  def applyUnwantedElementRules(articleContent: Int, ctx: Ctx): Unit = {
+    antirezDisqusFooter(articleContent, ctx)
+    antirezLeadingInfo(articleContent, ctx)
+    // remaining ~30 rules: later tiers
+  }
+
+  /** `AntirezDisqusFooterRule`. */
+  private def antirezDisqusFooter(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val ps = Select.select(dom, articleContent, "p")
+    var i = ps.length - 1
+    while (i >= 0) {
+      val p = ps(i)
+      if (dom.parent(p) != -1 &&
+          normText(dom, p).equalsIgnoreCase("blog comments powered by disqus") &&
+          Select.selectFirst(dom, p, "a[href*=disqus.com]") != -1)
+        dom.remove(p)
+      i -= 1
+    }
+    for (sel <- Seq("a.dsq-brlink[href*=disqus.com]", "div#disqus_thread_outdiv, div#disqus_thread")) {
+      val nodes = Select.select(dom, articleContent, sel)
+      var j = 0
+      while (j < nodes.length) { dom.remove(nodes(j)); j += 1 }
+    }
+  }
+
+  /** `AntirezLeadingInfoRule`. */
+  private def antirezLeadingInfo(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val spans = Select.select(dom, articleContent, "span")
+    var i = spans.length - 1
+    while (i >= 0) {
+      if (dom.parent(spans(i)) != -1 && isArticleMetadataInfoNode(dom, spans(i)))
+        dom.remove(spans(i))
+      i -= 1
+    }
+  }
+
   // ------------------------------------------------- cleaner postProcess
 
   /** `.postProcess` phase of `articleCleanerRules` (`SiteRuleRegistry
