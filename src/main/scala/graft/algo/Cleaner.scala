@@ -56,6 +56,7 @@ final class Cleaner(dom: Dom, opts: Options,
     removeAll(articleContent, "input, textarea, select, button")
     removeShortLinkHeavyDivs(articleContent)
     removeRelatedLinkCollectionDivs(articleContent)
+    siteRuleHook("pre-conversion", articleContent)
     removeSingleItemPromoLists(articleContent)
     removeEmptyContainerDivs(articleContent)
     removeShortRoleNoteCallouts(articleContent)

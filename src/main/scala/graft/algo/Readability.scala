@@ -57,6 +57,7 @@ object Readability {
     val siteCtx = SiteRules.Ctx(dom, sourceUrl)
     val cleanerHook: (String, Int) => Unit = (phase, node) => phase match {
       case "post-process" => SiteRules.applyPostProcessRules(node, siteCtx)
+      case "pre-conversion" => SiteRules.applyPreConversionRules(node, siteCtx)
       case "unwanted-elements" => SiteRules.applyUnwantedElementRules(node, siteCtx)
       case _ => ()
     }

@@ -132,7 +132,59 @@ object SiteRules {
   def applyUnwantedElementRules(articleContent: Int, ctx: Ctx): Unit = {
     antirezDisqusFooter(articleContent, ctx)
     antirezLeadingInfo(articleContent, ctx)
+    substackDiscussionFooter(articleContent, ctx)
     // remaining ~30 rules: later tiers
+  }
+
+  /** `SubstackDiscussionFooterRule`: discussion module, subscribe footer,
+    * empty top-posts footer.
+    */
+  private def substackDiscussionFooter(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val discussions = Select.select(dom, articleContent, "div#discussion")
+    var i = discussions.length - 1
+    while (i >= 0) {
+      val d = discussions(i)
+      if (dom.parent(d) != -1) {
+        val hasCommentsRoot = Select.selectFirst(dom, d, "div#substack-comments") != -1
+        val hasMoreComments = Select.selectFirst(dom, d, "a.more-comments, a[href$=/comments]") != -1
+        val h = Select.selectFirst(dom, d, "h1, h2, h3, h4")
+        val headingText = if (h == -1) "" else normText(dom, h)
+        if (hasCommentsRoot || hasMoreComments || headingText == "discussion about this post")
+          dom.remove(d)
+      }
+      i -= 1
+    }
+    val forms = Select.select(dom, articleContent, "form[action*=/api/v1/free?nojs=true]")
+    i = forms.length - 1
+    while (i >= 0) {
+      val form = forms(i)
+      if (dom.parent(form) != -1 &&
+          Select.selectFirst(dom, form, "input[name=source][value=subscribe_footer]") != -1) {
+        var candidate = dom.parent(form)
+        var done = false
+        while (candidate != -1 && !done) {
+          val h = Select.selectFirst(dom, candidate, "h1, h2, h3, h4")
+          val headingText = if (h == -1) "" else normText(dom, h)
+          if (headingText == "ready for more?") { dom.remove(candidate); done = true }
+          else candidate = dom.parent(candidate)
+        }
+      }
+      i -= 1
+    }
+    val footers = Select.select(dom, articleContent, "div[aria-label=Top Posts Footer][role=region]")
+    i = footers.length - 1
+    while (i >= 0) {
+      val f = footers(i)
+      if (dom.parent(f) != -1) {
+        val text = normText(dom, f)
+        if (text == "no posts" ||
+            Select.selectFirst(dom, f, "p.portable-archive-empty") != -1 ||
+            Select.selectFirst(dom, f, "[aria-label=Archive sort tabs]") != -1)
+          dom.remove(f)
+      }
+      i -= 1
+    }
   }
 
   /** `AntirezDisqusFooterRule`. */
@@ -167,6 +219,66 @@ object SiteRules {
     }
   }
 
+  // ------------------------------------------------ cleaner preConversion
+
+  /** `.preConversion` phase: NYTimesRelatedLinkCards (later tier) +
+    * SubstackInlineButtonCTA.
+    */
+  def applyPreConversionRules(articleContent: Int, ctx: Ctx): Unit = {
+    substackInlineButtonCta(articleContent, ctx)
+  }
+
+  /** `SubstackInlineButtonCTARule`: drop inline "Share" button paragraphs. */
+  private def substackInlineButtonCta(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val ps = Select.select(dom, articleContent, "p[data-component-name=ButtonCreateButton]")
+    var i = ps.length - 1
+    while (i >= 0) {
+      val p = ps(i)
+      if (dom.parent(p) != -1 && isSubstackShareButton(dom, p) &&
+          hasSubstackContext(dom, p, articleContent))
+        dom.remove(p)
+      i -= 1
+    }
+  }
+
+  private def isSubstackShareButton(dom: Dom, el: Int): Boolean = {
+    if (sTrim(innerText(dom, el)) != "Share") return false
+    // data-attrs JSON payload
+    val raw = Option(dom.attr(el, "data-attrs")).getOrElse("")
+    val payloadOk = Json.parse(raw) match {
+      case Some(m: Map[_, _]) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        val text = mm.get("text").collect { case s: String => s }.getOrElse("")
+        val url = mm.get("url").collect { case s: String => s }.getOrElse("")
+        val action = mm.get("action").collect { case s: String => s }.getOrElse("")
+        text == "Share" && (url.contains("action=share") ||
+          url.contains("utm_content=share") || action == "share")
+      case _ => false
+    }
+    if (payloadOk) return true
+    val a = Select.selectFirst(dom, el, "a")
+    if (a == -1) return false
+    val href = Option(dom.attr(a, "href")).getOrElse("")
+    href.contains("action=share") || href.contains("utm_content=share")
+  }
+
+  private def hasSubstackContext(dom: Dom, el: Int, articleContent: Int): Boolean = {
+    // whole-document root (the body tree and the detached article both count)
+    var root = articleContent
+    while (dom.parent(root) != -1) root = dom.parent(root)
+    if (Select.selectFirst(dom, root, "article.newsletter-post.post") != -1) return true
+    var cursor = dom.parent(el)
+    while (cursor != -1) {
+      if (dom.kind(cursor) == Dom.Element) {
+        val cls = dom.className(cursor).toLowerCase
+        if (cls.contains("body") && cls.contains("markup")) return true
+      }
+      cursor = dom.parent(cursor)
+    }
+    false
+  }
+
   // ------------------------------------------------- cleaner postProcess
 
   /** `.postProcess` phase of `articleCleanerRules` (`SiteRuleRegistry
@@ -175,6 +287,7 @@ object SiteRules {
   def applyPostProcessRules(articleContent: Int, ctx: Ctx): Unit = {
     // NYTimes*/Engadget*/Yahoo/CityLab/Verge/Liberation/DFarq/Substack/
     // Xeiaso rules: later tier
+    dFarqShareAuthorTail(articleContent, ctx)
     wordPressPrevNextNavigation(articleContent, ctx)
     johnDCookRelatedPosts(articleContent, ctx)
     // MercurialExampleSectionRule: later tier
@@ -182,6 +295,52 @@ object SiteRules {
     tomRennerTagList(articleContent, ctx)
     // WikipediaHermitianListPruneRule, EbbPreviousLinkRule,
     // XkcdComicChromeCleanupRule: later tier
+  }
+
+  /** `DFarqShareAuthorTailRule`: drop share block + trailing
+    * disqus/comment/author-bio tail nodes.
+    */
+  private def dFarqShareAuthorTail(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val shares = Select.select(dom, articleContent, "div[data-services][data-backendurl*=share_counts]")
+    var i = shares.length - 1
+    while (i >= 0) {
+      val share = shares(i)
+      if (dom.parent(share) != -1 &&
+          normText(dom, share).contains("if you found this post informative or helpful, please share it!")) {
+        var cursor = nextElemSib(dom, share)
+        var done = false
+        while (cursor != -1 && !done) {
+          val next = nextElemSib(dom, cursor)
+          val itemprop = Option(dom.attr(cursor, "itemprop")).getOrElse("").toLowerCase
+          val itemtype = Option(dom.attr(cursor, "itemtype")).getOrElse("").toLowerCase
+          val identity = (dom.className(cursor) + " " + dom.idAttr(cursor)).toLowerCase
+          val recognized = (itemprop == "author" && itemtype.contains("schema.org/person")) ||
+            identity.contains("disqus") || identity.contains("comment") || identity.contains("respond")
+          if (recognized) { dom.remove(cursor); cursor = next }
+          else done = true
+        }
+        dom.remove(share)
+      }
+      i -= 1
+    }
+    // trailing author bio
+    val bios = Select.select(dom, articleContent, "div[itemprop=author][itemtype*=schema.org/Person]")
+    i = bios.length - 1
+    var stop = false
+    while (i >= 0 && !stop) {
+      val node = bios(i)
+      if (dom.parent(node) != -1 && nextElemSib(dom, node) == -1 && {
+        val t = normText(dom, node)
+        (t.contains("david farquhar is a computer security professional") &&
+          t.contains("he has written professionally about computers since 1991")) ||
+          Select.select(dom, node, "img[itemprop=image]").exists { img =>
+            Option(dom.attr(img, "src")).getOrElse("").toLowerCase.contains("dave_farquhar_181px")
+          }
+      }) dom.remove(node)
+      else stop = true
+      i -= 1
+    }
   }
 
   private def normText(dom: Dom, id: Int): String =
