@@ -16,7 +16,11 @@ final class Grab(
     /** clone-and-clean text length for pass acceptance (G1). */
     acceptanceTextLength: (Int, Int) => Int,
     /** site-rule hook: byline extracted but container kept in the DOM */
-    keepBylineContainer: Int => Boolean = _ => false) {
+    keepBylineContainer: Int => Boolean = _ => false,
+    /** site-rule hook: explicit sibling include/exclude decision */
+    siblingDecision: (Int, Int) => Option[Boolean] = (_, _) => None,
+    /** site-rule hook: candidate promotion (`promotedCandidate`) */
+    promoteCandidateRule: Int => Int = identity) {
 
   import Config._
 
@@ -711,6 +715,8 @@ final class Grab(
   // ----------------------------------------------------------------- G12
 
   private def promoteSchemaArticleParentIfNeeded(candidate: Int): Int = {
+    val promoted = promoteCandidateRule(candidate)
+    if (promoted != candidate) return promoted
     if (dom.tag(candidate) == "section") {
       val ip = Option(dom.attr(candidate, "itemprop")).getOrElse("").toLowerCase
       if (ip.contains("articlebody")) {
@@ -777,11 +783,16 @@ final class Grab(
       var append = false
       if (sibling == topCandidate) append = true
       else if (isProbablyVisible(dom, sibling)) {
+        val ruleDecision = siblingDecision(sibling, topCandidate)
         var contentBonus = 0.0
         if (topCandidateClassName.nonEmpty && dom.className(sibling) == topCandidateClassName)
           contentBonus = topScore * Config.SiblingClassNameBonusRatio
         val siblingScore = scoring.contentScore(sibling)
-        if (scoring.isInitialized(sibling) && siblingScore + contentBonus >= siblingScoreThreshold)
+        if (ruleDecision.contains(false)) {
+          // explicit site-rule exclusion beats score-based inclusion
+        } else if (scoring.isInitialized(sibling) && siblingScore + contentBonus >= siblingScoreThreshold)
+          append = true
+        else if (ruleDecision.contains(true))
           append = true
         else if (dom.tag(sibling) == "p") {
           val linkDensity = scoring.linkDensity(dom, sibling)

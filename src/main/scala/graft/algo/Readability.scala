@@ -78,7 +78,9 @@ object Readability {
     }
 
     val grab = new Grab(dom, opts, title, acceptanceTextLength,
-      keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx))
+      keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx),
+      siblingDecision = SiteRules.siblingInclusionDecision(_, _, siteCtx),
+      promoteCandidateRule = SiteRules.promotedCandidate(_, siteCtx))
     val grabResult = grab.extract() match {
       case Right(r) => r
       case Left((actual, threshold)) =>

@@ -100,7 +100,15 @@ object SiteRules {
   /** `AntirezExcerptRule` (`applyExcerptRules`): first paragraph-block of
     * the article's pre content when no excerpt was found.
     */
-  def applyExcerptRules(excerpt: Option[String], articleContent: Int, ctx: Ctx): Option[String] = {
+  def applyExcerptRules(excerpt0: Option[String], articleContent: Int, ctx: Ctx): Option[String] = {
+    val excerpt = antirezExcerpt(excerpt0, articleContent, ctx)
+    xkcdComicExcerpt2(excerpt, articleContent, ctx)
+  }
+
+  private def xkcdComicExcerpt2(excerpt: Option[String], articleContent: Int, ctx: Ctx): Option[String] =
+    xkcdComicExcerpt(excerpt, articleContent, ctx)
+
+  private def antirezExcerpt(excerpt: Option[String], articleContent: Int, ctx: Ctx): Option[String] = {
     excerpt.map(sTrim).filter(_.nonEmpty) match {
       case some @ Some(_) => some
       case None =>
@@ -219,6 +227,150 @@ object SiteRules {
     }
   }
 
+  // ------------------------------------------------------------- xkcd
+
+  private def isComicImage(dom: Dom, img: Int): Boolean = {
+    val src = Option(dom.attr(img, "src")).getOrElse("").toLowerCase
+    val srcset = Option(dom.attr(img, "srcset")).getOrElse("").toLowerCase
+    src.contains("/comics/") || srcset.contains("/comics/")
+  }
+
+  private def hasComicImage(dom: Dom, el: Int): Boolean =
+    Select.select(dom, el, "img").exists(isComicImage(dom, _))
+
+  /** `XkcdComicCandidateRule` (`promotedCandidate`): promote into the
+    * #middleContainer comic frame.
+    */
+  def promotedCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    // walk candidate + ≤6 ancestors; check self and siblings for #middleContainer
+    var middle = -1
+    var cur = candidate
+    var depth = 0
+    while (cur != -1 && depth <= 6 && middle == -1) {
+      if (dom.kind(cur) == Dom.Element) {
+        if (dom.idAttr(cur).trim == "middleContainer") middle = cur
+        else {
+          val parent = dom.parent(cur)
+          if (parent != -1)
+            middle = dom.childElements(parent).find(s => dom.idAttr(s).trim == "middleContainer").getOrElse(-1)
+        }
+      }
+      cur = dom.parent(cur)
+      depth += 1
+    }
+    if (middle == -1) return candidate
+    if (!hasComicImage(dom, middle)) return candidate
+    // footer sibling evidence: #bottom with #comicLinks next to middleContainer
+    val parent = dom.parent(middle)
+    val hasFooter = parent != -1 && dom.childElements(parent).exists { s =>
+      dom.idAttr(s).trim == "bottom" && Select.selectFirst(dom, s, "#comicLinks") != -1
+    }
+    if (hasFooter) middle else candidate
+  }
+
+  private def xkcdFooterSibling(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] = {
+    val dom = ctx.dom
+    if (dom.idAttr(topCandidate).trim != "middleContainer") return None
+    if (!hasComicImage(dom, topCandidate)) return None
+    if (dom.idAttr(sibling).trim != "bottom") return None
+    if (Select.selectFirst(dom, sibling, "#comicLinks") == -1) return None
+    Some(false)
+  }
+
+  /** `XkcdComicChromeCleanupRule` (postProcess phase). */
+  private def xkcdComicChromeCleanup(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val middle = Select.selectFirst(dom, articleContent, "#middleContainer")
+    if (middle == -1 || !hasComicImage(dom, middle)) return
+    for (sel <- Seq("ul.comicNav", "#transcript")) {
+      val nodes = Select.select(dom, middle, sel)
+      var i = 0
+      while (i < nodes.length) { dom.remove(nodes(i)); i += 1 }
+    }
+    val alt = Select.select(dom, middle, "img").find(isComicImage(dom, _))
+      .flatMap(img => Option(dom.attr(img, "alt")).map(sTrim).filter(_.nonEmpty))
+      .map(_.toLowerCase)
+    val ps = Select.select(dom, middle, "p")
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (dom.parent(p) != -1) {
+        val t = sTrim(innerText(dom, p)).toLowerCase
+        if (t.contains("permanent link to this comic") ||
+            t.contains("image url (for hotlinking/embedding)") ||
+            (t.nonEmpty && alt.contains(t)))
+          dom.remove(p)
+      }
+      i += 1
+    }
+  }
+
+  /** `XkcdComicExcerptRule`: text-free comic pages get an empty excerpt. */
+  private def xkcdComicExcerpt(excerpt: Option[String], articleContent: Int, ctx: Ctx): Option[String] = {
+    val dom = ctx.dom
+    val middle = Select.selectFirst(dom, articleContent, "#middleContainer")
+    if (middle == -1 || !hasComicImage(dom, middle)) return excerpt
+    if (!textEmpty(dom, middle)) return excerpt
+    Some("")
+  }
+
+  /** `XkcdComicImageSourceRule` (serialization): prefer the 2x srcset URL. */
+  private def xkcdComicImageSource(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val middle = Select.selectFirst(dom, articleContent, "#middleContainer")
+    if (middle == -1) return
+    val imgs = Select.select(dom, middle, "img")
+    var i = 0
+    while (i < imgs.length) {
+      val img = imgs(i)
+      if (isComicImage(dom, img)) {
+        val srcset = Option(dom.attr(img, "srcset")).getOrElse("")
+        val twoX = srcset.split(",").iterator
+          .map(_.trim.split("\\s+"))
+          .collectFirst { case parts if parts.length >= 2 && parts(1) == "2x" => parts(0) }
+        twoX.foreach(url => dom.setAttr(img, "src", url))
+      }
+      i += 1
+    }
+  }
+
+  // ----------------------------------------------------- sibling include
+
+  /** `siblingInclusionDecision` (`SiteRuleRegistry.swift:305-331`):
+    * Some(true/false) = explicit include/exclude, None = no opinion.
+    * Ported tier: SeanGoedeckePostFooterRule (Xkcd/WordPress/Ghost/DevBlogs
+    * later).
+    */
+  def siblingInclusionDecision(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] =
+    xkcdFooterSibling(sibling, topCandidate, ctx)
+      .orElse(seanGoedeckePostFooter(sibling, ctx))
+
+  private val sgPreviewIntro =
+    "Here's a preview of a related post that shares tags with this one."
+
+  private def seanGoedeckePostFooter(sibling: Int, ctx: Ctx): Option[Boolean] = {
+    val dom = ctx.dom
+    if (dom.kind(sibling) != Dom.Element || dom.tag(sibling) != "p") return None
+    if (sTrim(innerText(dom, sibling)) != sgPreviewIntro) return None
+    val parent = dom.parent(sibling)
+    if (parent == -1) return None
+    val children = dom.childElements(parent)
+    val idx = children.indexOf(sibling)
+    if (idx < 0) return None
+    var evidence = false
+    if (idx > 0 &&
+        innerText(dom, children(idx - 1)).toLowerCase.contains("if you liked this post"))
+      evidence = true
+    if (!evidence && idx + 1 < children.size) {
+      val next = children(idx + 1)
+      if (dom.tag(next) == "blockquote" &&
+          innerText(dom, next).toLowerCase.contains("continue reading"))
+        evidence = true
+    }
+    if (evidence) Some(false) else None
+  }
+
   // ------------------------------------------------ cleaner preConversion
 
   /** `.preConversion` phase: NYTimesRelatedLinkCards (later tier) +
@@ -293,8 +445,8 @@ object SiteRules {
     // MercurialExampleSectionRule: later tier
     simonWillisonRecentArticles(articleContent, ctx)
     tomRennerTagList(articleContent, ctx)
-    // WikipediaHermitianListPruneRule, EbbPreviousLinkRule,
-    // XkcdComicChromeCleanupRule: later tier
+    // WikipediaHermitianListPruneRule, EbbPreviousLinkRule: later tier
+    xkcdComicChromeCleanup(articleContent, ctx)
   }
 
   /** `DFarqShareAuthorTailRule`: drop share block + trailing
@@ -456,7 +608,8 @@ object SiteRules {
     // QQVoteContainerRule: later tier
     breitbartHeaderMedia(articleContent, ctx)
     // QuantaTopReactIDRule, HukumusumeLegacyFileURLRule (generic in Urls),
-    // XkcdComicImageSourceRule, XeiasoArticleRule: later tier
+    // XeiasoArticleRule: later tier
+    xkcdComicImageSource(articleContent, ctx)
   }
 
   /** `ArsIntroHeaderWrapperRule`: wrap intro h2/h4 + articleBody in
