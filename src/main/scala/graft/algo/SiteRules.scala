@@ -238,10 +238,65 @@ object SiteRules {
   private def hasComicImage(dom: Dom, el: Int): Boolean =
     Select.select(dom, el, "img").exists(isComicImage(dom, _))
 
+  // --------------------------------------------------------- devblogs
+
+  private def isDevBlogsEvoDocument(ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    if (Select.selectFirst(dom, dom.document, "body.wp-theme-devblogs-evo") != -1) return true
+    Seq("link[rel=canonical]", "meta[property=og:url]").exists { sel =>
+      val el = Select.selectFirst(dom, dom.document, sel)
+      el != -1 && {
+        val v = Option(dom.attr(el, if (sel.startsWith("link")) "href" else "content")).getOrElse("")
+        v.toLowerCase.contains("devblogs.microsoft.com")
+      }
+    }
+  }
+
+  /** `DevBlogsArticleCandidateRule`: narrow/promote to #single-wrapper. */
+  private def devBlogsCandidate(candidate: Int, ctx: Ctx): Int = {
+    if (!isDevBlogsEvoDocument(ctx)) return candidate
+    val dom = ctx.dom
+    val inner = Select.selectFirst(dom, candidate, "#single-wrapper")
+    if (inner != -1) return inner
+    var cursor = candidate
+    while (cursor != -1) {
+      if (dom.kind(cursor) == Dom.Element && dom.idAttr(cursor) == "single-wrapper") return cursor
+      cursor = dom.parent(cursor)
+    }
+    candidate
+  }
+
+  /** `DevBlogsPostFooterRule`: exclude the post-footer column sibling. */
+  private def devBlogsPostFooter(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] = {
+    val dom = ctx.dom
+    if (dom.tag(topCandidate) != "div" || dom.idAttr(topCandidate) != "single-wrapper" ||
+        !Select.hasClassToken(dom.className(topCandidate), "container-three-column-post")) return None
+    if (!isDevBlogsEvoDocument(ctx)) return None
+    if (dom.tag(sibling) != "div" || sibling == topCandidate ||
+        !Select.hasClassToken(dom.className(sibling), "container-three-column-post")) return None
+    // sibling must FOLLOW the top candidate under the same parent
+    val parent = dom.parent(topCandidate)
+    if (parent == -1 || dom.parent(sibling) != parent) return None
+    val children = dom.childElements(parent)
+    val ti = children.indexOf(topCandidate)
+    val si = children.indexOf(sibling)
+    if (ti < 0 || si < 0 || si <= ti) return None
+    val markers = Seq("a[data-bi-area=body_category]", "a[data-bi-area=body_topics]",
+      "a[data-bi-area=body_author_bottom]")
+    if (!markers.exists(m => Select.selectFirst(dom, sibling, m) != -1)) return None
+    Some(false)
+  }
+
   /** `XkcdComicCandidateRule` (`promotedCandidate`): promote into the
     * #middleContainer comic frame.
     */
   def promotedCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dev = devBlogsCandidate(candidate, ctx)
+    if (dev != candidate) return dev
+    xkcdPromotedCandidate(candidate, ctx)
+  }
+
+  private def xkcdPromotedCandidate(candidate: Int, ctx: Ctx): Int = {
     val dom = ctx.dom
     // walk candidate + ≤6 ancestors; check self and siblings for #middleContainer
     var middle = -1
@@ -345,6 +400,7 @@ object SiteRules {
   def siblingInclusionDecision(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] =
     xkcdFooterSibling(sibling, topCandidate, ctx)
       .orElse(seanGoedeckePostFooter(sibling, ctx))
+      .orElse(devBlogsPostFooter(sibling, topCandidate, ctx))
 
   private val sgPreviewIntro =
     "Here's a preview of a related post that shares tags with this one."
