@@ -186,18 +186,35 @@ final class Post(dom: Dom, opts: Options, docLocation: String) {
     }
   }
 
+  /** Whitespace set for paragraph-boundary text-node removal: ASCII
+    * whitespace + U+200B (observed reference behavior: a trailing
+    * zero-width-space node is dropped, a trailing NBSP node is kept —
+    * macscene vs article-author-tag fixtures).
+    */
+  private def isBoundaryWs(c: Char): Boolean =
+    c <= ' ' || c == '\u200b'
+
+  private def boundaryBlank(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (!isBoundaryWs(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
   def trimParagraphBoundaryWhitespace(articleContent: Int): Unit = {
     val ps = Select.select(dom, articleContent, "p")
     var i = 0
     while (i < ps.length) {
       val p = ps(i)
       var first = dom.firstChild(p)
-      while (first != -1 && dom.kind(first) == Dom.Text && dom.text(first).trim.isEmpty) {
+      while (first != -1 && dom.kind(first) == Dom.Text && boundaryBlank(dom.text(first))) {
         dom.remove(first)
         first = dom.firstChild(p)
       }
       var last = dom.lastChild(p)
-      while (last != -1 && dom.kind(last) == Dom.Text && dom.text(last).trim.isEmpty) {
+      while (last != -1 && dom.kind(last) == Dom.Text && boundaryBlank(dom.text(last))) {
         dom.remove(last)
         last = dom.lastChild(p)
       }

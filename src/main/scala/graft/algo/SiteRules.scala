@@ -140,8 +140,119 @@ object SiteRules {
   def applyUnwantedElementRules(articleContent: Int, ctx: Ctx): Unit = {
     antirezDisqusFooter(articleContent, ctx)
     antirezLeadingInfo(articleContent, ctx)
+    mksiteLeadingPublication(articleContent, ctx)
     substackDiscussionFooter(articleContent, ctx)
     // remaining ~30 rules: later tiers
+  }
+
+  /** `MksiteLeadingPublicationRule`: strip the lead metadata cluster
+    * (<b title=Publication><time>…, /tags/ links, bracketed <em> labels,
+    * note-box skip links) ahead of the lead media element.
+    */
+  private def mksiteLeadingPublication(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+
+    def childNodes(of: Int): Vector[Int] = {
+      val b = Vector.newBuilder[Int]
+      var c = dom.firstChild(of)
+      while (c != -1) { b += c; c = dom.nextSib(c) }
+      b.result()
+    }
+    def isWsText(n: Int): Boolean = dom.kind(n) == Dom.Text && sBlank(dom.text(n))
+    def nextSignificantIdx(nodes: Vector[Int], from: Int): Int = {
+      var i = from
+      while (i < nodes.length) {
+        if (!isWsText(nodes(i)) && dom.kind(nodes(i)) != Dom.Comment) return i
+        i += 1
+      }
+      -1
+    }
+    def isDateEl(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && dom.tag(n) == "b" && {
+        val title = Option(dom.attr(n, "title")).getOrElse("").trim
+        (title.equalsIgnoreCase("Publication") || title.equalsIgnoreCase("Last edit")) &&
+          Select.selectFirst(dom, n, "time") != -1
+      }
+    def isPublicationEl(n: Int): Boolean =
+      isDateEl(n) && Option(dom.attr(n, "title")).getOrElse("").trim.equalsIgnoreCase("Publication")
+    def isHeading(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && Set("h1", "h2", "h3", "h4", "h5", "h6")(dom.tag(n))
+    def isTagLink(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && dom.tag(n) == "a" &&
+        Option(dom.attr(n, "href")).getOrElse("").toLowerCase.contains("/tags/")
+    def isBracketedLabel(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && dom.tag(n) == "em" && {
+        val t = sTrim(innerText(dom, n))
+        t.startsWith("[") && t.endsWith("]")
+      }
+    def isNoteBoxWrapper(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && dom.tag(n) == "note-box" && {
+        val links = Select.select(dom, n, "a")
+        links.nonEmpty && {
+          val text = sTrim(innerText(dom, n))
+          val linkText = sTrim(links.map(innerText(dom, _)).mkString(" "))
+          text == linkText || text.isEmpty
+        }
+      }
+    def isEmptyP(n: Int): Boolean =
+      dom.kind(n) == Dom.Element && dom.tag(n) == "p" && textEmpty(dom, n) &&
+        Select.selectFirst(dom, n, "img, picture, figure, video, iframe, object, embed") == -1
+    def isSeparatorText(n: Int): Boolean =
+      dom.kind(n) == Dom.Text && {
+        val t = sTrim(dom.text(n))
+        t.isEmpty || t.matches("^[()\\[\\],:;|/\\-–—]+$")
+      }
+    def isLeadMedia(n: Int): Boolean = {
+      if (dom.kind(n) != Dom.Element) return false
+      dom.tag(n) match {
+        case "img" | "figure" | "picture" => true
+        case "center" => Select.selectFirst(dom, n, "a, img") != -1
+        case _ => false
+      }
+    }
+    def mksiteContext: Boolean = {
+      val metas = Select.select(dom, dom.document, "meta[name=generator]")
+      if (metas.nonEmpty)
+        metas.exists(m => Option(dom.attr(m, "content")).getOrElse("").toLowerCase.contains("mksite"))
+      else true // extracted fragments lose head metadata; rely on shape
+    }
+
+    val nodes = childNodes(articleContent)
+    // publication node: first significant, or heading followed by date
+    val firstIdx = nextSignificantIdx(nodes, 0)
+    if (firstIdx < 0) return
+    val pubIdx =
+      if (isDateEl(nodes(firstIdx))) firstIdx
+      else if (isHeading(nodes(firstIdx))) {
+        val second = nextSignificantIdx(nodes, firstIdx + 1)
+        if (second >= 0 && isDateEl(nodes(second))) second else -1
+      } else -1
+    if (pubIdx < 0 || !isPublicationEl(nodes(pubIdx))) return
+
+    val removal = scala.collection.mutable.ArrayBuffer(nodes(pubIdx))
+    var cursor = pubIdx + 1
+    var sawTagLink = false
+    var break0 = false
+    while (cursor < nodes.length && !break0) {
+      val n = nodes(cursor)
+      if (dom.kind(n) == Dom.Text) {
+        if (isSeparatorText(n)) { removal += n; cursor += 1 }
+        else break0 = true
+      } else if (dom.kind(n) != Dom.Element) { removal += n; cursor += 1 }
+      else if (isTagLink(n)) { removal += n; sawTagLink = true; cursor += 1 }
+      else if (!sawTagLink && isBracketedLabel(n)) { removal += n; cursor += 1 }
+      else if (isDateEl(n)) { removal += n; cursor += 1 }
+      else if (isNoteBoxWrapper(n)) { removal += n; cursor += 1 }
+      else if (isEmptyP(n)) { removal += n; cursor += 1 }
+      else break0 = true
+    }
+    val nextIdx = nextSignificantIdx(nodes, cursor)
+    val nextEl = if (nextIdx >= 0) nodes(nextIdx) else -1
+    if (sawTagLink && nextEl != -1 && mksiteContext && isLeadMedia(nextEl)) {
+      removal.reverse.foreach(n => if (dom.parent(n) != -1) dom.remove(n))
+    } else if (!sawTagLink && mksiteContext) {
+      removal.reverse.foreach(n => if (dom.parent(n) != -1) dom.remove(n))
+    }
   }
 
   /** `SubstackDiscussionFooterRule`: discussion module, subscribe footer,
