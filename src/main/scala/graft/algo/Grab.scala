@@ -20,7 +20,9 @@ final class Grab(
     /** site-rule hook: explicit sibling include/exclude decision */
     siblingDecision: (Int, Int) => Option[Boolean] = (_, _) => None,
     /** site-rule hook: candidate promotion (`promotedCandidate`) */
-    promoteCandidateRule: Int => Int = identity) {
+    promoteCandidateRule: Int => Int = identity,
+    /** site-rule hook: protect the candidate from wrapper promotion */
+    keepCandidateRule: Int => Boolean = _ => false) {
 
   import Config._
 
@@ -631,6 +633,7 @@ final class Grab(
   }
 
   private def shouldKeepCurrentCandidate(id: Int): Boolean = {
+    if (keepCandidateRule(id)) return true
     if (dom.tag(id) != "article") return false
     dom.idAttr(id).trim.toLowerCase == "story"
   }

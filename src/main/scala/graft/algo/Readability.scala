@@ -46,6 +46,9 @@ object Readability {
     // 5. prepDocument (P5–P8)
     Prep.prepDocument(dom)
 
+    // 6. pre-extraction site rules (`Readability.swift:64`)
+    SiteRules.applyPreExtractionRules(SiteRules.Ctx(dom, sourceUrl))
+
     // 7. title
     val title = metadata.title.getOrElse(Metadata.extractTitle(dom))
 
@@ -80,11 +83,20 @@ object Readability {
     val grab = new Grab(dom, opts, title, acceptanceTextLength,
       keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx),
       siblingDecision = SiteRules.siblingInclusionDecision(_, _, siteCtx),
-      promoteCandidateRule = SiteRules.promotedCandidate(_, siteCtx))
+      promoteCandidateRule = SiteRules.promotedCandidate(_, siteCtx),
+      keepCandidateRule = SiteRules.shouldKeepCandidate(_, siteCtx))
     val grabResult = grab.extract() match {
       case Right(r) => r
       case Left((actual, threshold)) =>
-        return Failed("content_too_short", s"actual=$actual threshold=$threshold")
+        // site-rule short-content fallback (`Readability.swift:100-124`)
+        val fallback = SiteRules.shortContentFallbackArticle(siteCtx)
+        if (fallback == -1)
+          return Failed("content_too_short", s"actual=$actual threshold=$threshold")
+        val content = dom.newElement("div")
+        dom.appendChild(content, dom.cloneSubtree(fallback))
+        val lang = Option(if (dom.htmlEl != -1) dom.attr(dom.htmlEl, "lang") else null)
+          .map(_.trim).filter(_.nonEmpty)
+        grab.GrabResult(content, None, None, lang, Config.FlagsAll, neededToCreate = false)
     }
 
     // 9. clean article content (prepArticle skipped when the accepted

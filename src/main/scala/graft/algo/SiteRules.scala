@@ -349,6 +349,204 @@ object SiteRules {
   private def hasComicImage(dom: Dom, el: Int): Boolean =
     Select.select(dom, el, "img").exists(isComicImage(dom, _))
 
+  // ----------------------------------------------------------- xeiaso
+
+  private def isXeiasoUrl(raw: String): Boolean = {
+    val host = Option(Urls.parse(raw).authority).getOrElse("").toLowerCase
+    host == "xeiaso.net" || host.endsWith(".xeiaso.net")
+  }
+
+  private def isXeiasoDocument(ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    val canonical = {
+      val el = Select.selectFirst(dom, dom.document, "link[rel=canonical]")
+      if (el == -1) "" else Option(dom.attr(el, "href")).getOrElse("")
+    }
+    val ogUrl = {
+      val el = Select.selectFirst(dom, dom.document, "meta[property=og:url]")
+      if (el == -1) "" else Option(dom.attr(el, "content")).getOrElse("")
+    }
+    Seq(ctx.sourceUrl.getOrElse(""), canonical, ogUrl).exists(u => u.nonEmpty && isXeiasoUrl(u))
+  }
+
+  /** `XeiasoArticleRule` PreExtractionDocumentRule: remove site header,
+    * article tail chrome (from the boundary <hr>), and site footer.
+    */
+  def applyPreExtractionRules(ctx: Ctx): Unit = {
+    // StandardDiscussionModuleRule: later tier
+    if (!isXeiasoDocument(ctx)) return
+    val dom = ctx.dom
+    // site header: body > header with exactly one nav
+    if (dom.bodyEl != -1) {
+      val headers = Select.select(dom, dom.bodyEl, "> header")
+      var i = headers.length - 1
+      while (i >= 0) {
+        if (Select.select(dom, headers(i), "nav").length == 1) dom.remove(headers(i))
+        i -= 1
+      }
+      // tail chrome inside article.prose
+      val article = Select.selectFirst(dom, dom.document, "article.prose")
+      if (article != -1) {
+        val hrs = Select.select(dom, article, "> hr")
+        var j = hrs.length - 1
+        var done = false
+        while (j >= 0 && !done) {
+          val hr = hrs(j)
+          if (xeiasoIsTailBoundaryHr(dom, hr)) {
+            var next = nextElemSib(dom, hr)
+            while (next != -1) {
+              val upcoming = nextElemSib(dom, next)
+              dom.remove(next)
+              next = upcoming
+            }
+            dom.remove(hr)
+            done = true
+          }
+          j -= 1
+        }
+      }
+      // site footer
+      val footers = Select.select(dom, dom.bodyEl, "> footer")
+      var k = footers.length - 1
+      while (k >= 0) {
+        val t = normText2(dom, footers(k))
+        if (t.contains("copyright") && t.contains("xe iaso") && t.contains("served by xesite"))
+          dom.remove(footers(k))
+        k -= 1
+      }
+    }
+  }
+
+  private def normText2(dom: Dom, id: Int): String = normText(dom, id)
+
+  private def xeiasoIsTailBoundaryHr(dom: Dom, hr: Int): Boolean = {
+    var next = nextElemSib(dom, hr)
+    while (next != -1) {
+      val nid = dom.idAttr(next).trim.toLowerCase
+      if (nid == "sharebutton") return true
+      if (dom.tag(next) == "p") {
+        val t = sTrim(innerText(dom, next).replaceAll("\\s+", " "))
+        return t.startsWith("Facts and circumstances may have changed since publication.") ||
+          t.startsWith("Tags:")
+      }
+      next = nextElemSib(dom, next)
+    }
+    false
+  }
+
+  private def isArticleProse(dom: Dom, el: Int): Boolean =
+    dom.kind(el) == Dom.Element && dom.tag(el) == "article" &&
+      Select.hasClassToken(dom.className(el), "prose")
+
+  /** CandidateProtectionSiteRule: keep article.prose as the candidate. */
+  def shouldKeepCandidate(candidate: Int, ctx: Ctx): Boolean =
+    isXeiasoDocument(ctx) && isArticleProse(ctx.dom, candidate)
+
+  private def xeiasoPromotedCandidate(candidate: Int, ctx: Ctx): Int = {
+    if (!isXeiasoDocument(ctx)) return candidate
+    val dom = ctx.dom
+    var cur = candidate
+    while (cur != -1) {
+      if (isArticleProse(dom, cur)) return cur
+      cur = dom.parent(cur)
+    }
+    val article = Select.selectFirst(dom, dom.document, "article.prose")
+    if (article != -1 && article != candidate) article else candidate
+  }
+
+  /** ShortContentFallbackSiteRule: article.prose when every pass fails. */
+  def shortContentFallbackArticle(ctx: Ctx): Int = {
+    // OneA23GalleryShortArticleRule: later tier
+    if (!isXeiasoDocument(ctx)) return -1
+    Select.selectFirst(ctx.dom, ctx.dom.document, "article.prose")
+  }
+
+  /** Xeiaso cleaner phase: post metadata line + tail markers. */
+  private def xeiasoCleanerApply(articleContent: Int, ctx: Ctx): Unit = {
+    if (!isXeiasoDocument(ctx)) return
+    val dom = ctx.dom
+    val divs = Select.select(dom, articleContent, "div")
+    var i = divs.length - 1
+    while (i >= 0) {
+      val d = divs(i)
+      if (dom.parent(d) != -1 && Select.selectFirst(dom, d, "time[datetime]") != -1) {
+        val t = normText(dom, d)
+        if (t.contains("words") && t.contains("minutes to read")) dom.remove(d)
+      }
+      i -= 1
+    }
+    var foundTail = false
+    val ps = Select.select(dom, articleContent, "p")
+    i = ps.length - 1
+    while (i >= 0) {
+      val p = ps(i)
+      if (dom.parent(p) != -1) {
+        val t = sTrim(innerText(dom, p).replaceAll("\\s+", " "))
+        if (t.startsWith("Facts and circumstances may have changed since publication.") || t == "Tags:") {
+          dom.remove(p)
+          foundTail = true
+        }
+      }
+      i -= 1
+    }
+    if (foundTail) {
+      val hrs = Select.select(dom, articleContent, "hr")
+      i = hrs.length - 1
+      while (i >= 0) { dom.remove(hrs(i)); i -= 1 }
+    }
+  }
+
+  /** Xeiaso serialization phase: normalize character dialogue cards into
+    * blockquotes.
+    */
+  private def xeiasoDialogues(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def characterLinks(el: Int) = Select.select(dom, el, "a").filter(a =>
+      Option(dom.attr(a, "href")).getOrElse("").contains("/characters#"))
+    def stickers(el: Int) = Select.select(dom, el, "img").filter(img =>
+      Option(dom.attr(img, "src")).getOrElse("").contains("/sticker/"))
+    if (characterLinks(articleContent).isEmpty || stickers(articleContent).isEmpty) return
+    val divs = Select.select(dom, articleContent, "div")
+    var i = divs.length - 1
+    while (i >= 0) {
+      val card = divs(i)
+      if (dom.parent(card) != -1 &&
+          characterLinks(card).length == 1 && stickers(card).length == 1) {
+        val blockquote = dom.newElement("blockquote")
+        val speaker = characterLinks(card).head
+        val speakerText = sTrim(innerText(dom, speaker).replaceAll("\\s+", " "))
+        val sp = dom.newElement("p")
+        val strong = dom.newElement("strong")
+        dom.appendChild(strong, dom.newText(innerText(dom, speaker)))
+        dom.appendChild(sp, strong)
+        dom.appendChild(blockquote, sp)
+        val cardPs = Select.select(dom, card, "p")
+        var j = 0
+        while (j < cardPs.length) {
+          val p = cardPs(j)
+          val t = sTrim(innerText(dom, p).replaceAll("\\s+", " "))
+          if (stickers(p).isEmpty && t.nonEmpty && t != speakerText)
+            dom.appendChild(blockquote, dom.cloneSubtree(p))
+          j += 1
+        }
+        dom.replaceWith(card, blockquote)
+      }
+      i -= 1
+    }
+    // unwrap wrappers that now contain only blockquotes
+    val wrappers = Select.select(dom, articleContent, "div")
+    i = wrappers.length - 1
+    while (i >= 0) {
+      val w = wrappers(i)
+      if (dom.parent(w) != -1) {
+        val children = dom.childElements(w)
+        if (children.nonEmpty && children.forall(c => dom.tag(c) == "blockquote"))
+          dom.unwrap(w)
+      }
+      i -= 1
+    }
+  }
+
   // --------------------------------------------------------- devblogs
 
   private def isDevBlogsEvoDocument(ctx: Ctx): Boolean = {
@@ -402,9 +600,31 @@ object SiteRules {
     * #middleContainer comic frame.
     */
   def promotedCandidate(candidate: Int, ctx: Ctx): Int = {
+    val sw = simonWillisonBeatCandidate(candidate, ctx)
+    if (sw != candidate) return sw
     val dev = devBlogsCandidate(candidate, ctx)
     if (dev != candidate) return dev
+    val xe = xeiasoPromotedCandidate(candidate, ctx)
+    if (xe != candidate) return xe
     xkcdPromotedCandidate(candidate, ctx)
+  }
+
+  /** `SimonWillisonBeatCandidatePromotionRule`: beat pages always use the
+    * div.beat container as the candidate.
+    */
+  private def simonWillisonBeatCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    val canonical = {
+      val el = Select.selectFirst(dom, dom.document, "link[rel=canonical]")
+      if (el == -1) "" else Option(dom.attr(el, "href")).getOrElse("").toLowerCase
+    }
+    val isHost = canonical.contains("simonwillison.net") ||
+      ctx.ogSiteName.toLowerCase.contains("simon willison")
+    if (!isHost) return candidate
+    if (Select.selectFirst(dom, dom.document, "div.entry.entryPage > div.beat > div.beat-content") == -1)
+      return candidate
+    val beat = Select.selectFirst(dom, dom.document, "div.entry.entryPage > div.beat")
+    if (beat == -1) candidate else beat
   }
 
   private def xkcdPromotedCandidate(candidate: Int, ctx: Ctx): Int = {
@@ -612,6 +832,7 @@ object SiteRules {
     // MercurialExampleSectionRule: later tier
     simonWillisonRecentArticles(articleContent, ctx)
     tomRennerTagList(articleContent, ctx)
+    xeiasoCleanerApply(articleContent, ctx)
     // WikipediaHermitianListPruneRule, EbbPreviousLinkRule: later tier
     xkcdComicChromeCleanup(articleContent, ctx)
   }
@@ -775,8 +996,8 @@ object SiteRules {
     // QQVoteContainerRule: later tier
     breitbartHeaderMedia(articleContent, ctx)
     // QuantaTopReactIDRule, HukumusumeLegacyFileURLRule (generic in Urls),
-    // XeiasoArticleRule: later tier
     xkcdComicImageSource(articleContent, ctx)
+    xeiasoDialogues(articleContent, ctx)
   }
 
   /** `ArsIntroHeaderWrapperRule`: wrap intro h2/h4 + articleBody in
