@@ -17,6 +17,19 @@ object FixtureRunner {
   val mozillaOptions: Options = Options(charThreshold = 500, classesToPreserve = Seq("caption"))
   val fakeBaseUrl = "http://fakehost/test/index.html"
 
+  /** Per-fixture metadata assertion matrix for test-pages, parsed from the
+    * reference's own test file: only the fields it asserts
+    * (`assertMetadataFieldMatches(.field, for: "fixture")`) are compared.
+    */
+  lazy val mozillaAssertedFields: Map[String, Set[String]] = {
+    val src = Files.readString(Paths.get(
+      "/root/reference/Tests/ReadabilityTests/MozillaCompatibilityTests.swift"))
+    val re = "assertMetadataFieldMatches\\(\\.(\\w+), for: \"([^\"]+)\"\\)".r
+    re.findAllMatchIn(src).toSeq
+      .groupBy(_.group(2))
+      .view.mapValues(_.map(_.group(1)).toSet).toMap
+  }
+
   final case class FixtureResult(
       name: String,
       spansMatch: Boolean,
@@ -93,9 +106,16 @@ object FixtureRunner {
         // publishedTime only when the fixture records a value
         // (`ExPagesCompatibilityTests.swift:36-46`,
         // `RealWorldCompatibilityTests.swift:39-55`).
-        val exPages = dir.getParent.getFileName.toString == "ex-pages"
+        val corpus = dir.getParent.getFileName.toString
+        val exPages = corpus == "ex-pages"
+        val testPages = corpus == "test-pages"
+        // test-pages: exactly the reference's per-fixture assertion set
+        val asserted: String => Boolean =
+          if (testPages) mozillaAssertedFields.getOrElse(name, Set("title", "byline")).contains _
+          else _ => true
         val metaDiffs = List.newBuilder[String]
         def cmp(field: String, actual: Option[String], onlyWhenExpected: Boolean = false): Unit = {
+          if (!asserted(field)) return
           val expectedV = metaField(metaJson, field).map(_.trim).filter(_.nonEmpty)
           if (onlyWhenExpected && expectedV.isEmpty) return
           val actualV = actual.map(_.trim).filter(_.nonEmpty)

@@ -31,11 +31,14 @@ object Metadata {
   def extract(dom: Dom, disableJsonLd: Boolean): Meta = {
     val m = if (disableJsonLd) Meta() else extractJsonLd(dom)
     val mm = extractMetaTags(dom)
+    // NOTE: no Mozilla-style _unescapeHtmlEntities pass — the reference
+    // keeps metadata values as parsed (its 005 test asserts content+title
+    // only; ex-pages fixtures like joanwestenberg keep &#x27;/&quot;)
     Meta(
-      title = nonEmpty(m.title).orElse(nonEmpty(mm.title)).map(unescapeHtmlEntities),
-      byline = nonEmpty(m.byline).orElse(nonEmpty(mm.byline)).map(unescapeHtmlEntities),
-      excerpt = nonEmpty(m.excerpt).orElse(nonEmpty(mm.excerpt)).map(unescapeHtmlEntities),
-      siteName = nonEmpty(m.siteName).orElse(nonEmpty(mm.siteName)).map(unescapeHtmlEntities),
+      title = nonEmpty(m.title).orElse(nonEmpty(mm.title)),
+      byline = nonEmpty(m.byline).orElse(nonEmpty(mm.byline)),
+      excerpt = nonEmpty(m.excerpt).orElse(nonEmpty(mm.excerpt)),
+      siteName = nonEmpty(m.siteName).orElse(nonEmpty(mm.siteName)),
       publishedTime = nonEmpty(m.publishedTime).orElse(nonEmpty(mm.publishedTime)))
   }
 

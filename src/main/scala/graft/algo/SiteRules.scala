@@ -454,11 +454,73 @@ object SiteRules {
     if (article != -1 && article != candidate) article else candidate
   }
 
-  /** ShortContentFallbackSiteRule: article.prose when every pass fails. */
+  /** ShortContentFallbackSiteRule chain: 1a23 gallery, then xeiaso
+    * article.prose (`SiteRuleRegistry.swift:139-161`). Returns a node to
+    * CLONE as the fallback content, or -1.
+    */
   def shortContentFallbackArticle(ctx: Ctx): Int = {
-    // OneA23GalleryShortArticleRule: later tier
+    val oneA23 = oneA23GalleryShortArticle(ctx)
+    if (oneA23 != -1) return oneA23
     if (!isXeiasoDocument(ctx)) return -1
     Select.selectFirst(ctx.dom, ctx.dom.document, "article.prose")
+  }
+
+  /** `OneA23GalleryShortArticleRule`: featured image + first paragraph. */
+  private def oneA23GalleryShortArticle(ctx: Ctx): Int = {
+    if (!(ctx.host == "1a23.com" || ctx.host == "www.1a23.com")) return -1
+    if (!ctx.path.contains("/works/gallery/")) return -1
+    val dom = ctx.dom
+    val entry = Select.selectFirst(dom, dom.document, "div.entry-content")
+    val figure = Select.selectFirst(dom, dom.document, "figure.wp-block-post-featured-image")
+    if (entry == -1 || figure == -1) return -1
+    val p = dom.childElements(entry).find(c => dom.tag(c) == "p" && !textEmpty(dom, c)).getOrElse(-1)
+    if (p == -1) return -1
+    val container = dom.newElement("div")
+    dom.appendChild(container, dom.cloneSubtree(figure))
+    dom.appendChild(container, dom.cloneSubtree(p))
+    container
+  }
+
+  /** `OneA23GalleryWrapperRule` (serialization): wrap the 2-child
+    * figure+caption page in an inner div.
+    */
+  private def oneA23GalleryWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val page = Select.selectFirst(dom, articleContent, "div#readability-page-1.page")
+    val pg = if (page != -1) page
+      else if (dom.kind(articleContent) == Dom.Element &&
+        dom.idAttr(articleContent) == "readability-page-1") articleContent else -1
+    if (pg == -1) return
+    val children = dom.childElements(pg)
+    if (children.size != 2) return
+    val figure = children(0)
+    val paragraph = children(1)
+    if (dom.tag(figure) != "figure" || dom.tag(paragraph) != "p") return
+    if (!dom.className(figure).toLowerCase.contains("wp-block-post-featured-image")) return
+    val t = sTrim(innerText(dom, paragraph)).toLowerCase
+    if (!t.startsWith("photo by ") || !t.contains("typefaces:")) return
+    val wrapper = dom.newElement("div")
+    dom.appendChild(wrapper, figure)
+    dom.appendChild(wrapper, paragraph)
+    dom.appendChild(pg, wrapper)
+  }
+
+  /** `GhostArticleChromeRule`: exclude Ghost header/CTA siblings of
+    * section.gh-content.
+    */
+  private def ghostArticleChrome(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] = {
+    val dom = ctx.dom
+    if (dom.tag(topCandidate) != "section" ||
+        !Select.hasClassToken(dom.className(topCandidate), "gh-content")) return None
+    val parent = dom.parent(topCandidate)
+    if (parent == -1 || dom.kind(parent) != Dom.Element || dom.tag(parent) != "article") return None
+    if (dom.parent(sibling) != parent) return None
+    if (dom.tag(sibling) == "header" &&
+        Select.hasClassToken(dom.className(sibling), "article-header")) return Some(false)
+    if (dom.tag(sibling) == "div" &&
+        (Select.hasClassToken(dom.className(sibling), "content-cta") ||
+         Select.hasClassToken(dom.className(sibling), "studio-cta"))) return Some(false)
+    None
   }
 
   /** Xeiaso cleaner phase: post metadata line + tail markers. */
@@ -731,6 +793,7 @@ object SiteRules {
   def siblingInclusionDecision(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] =
     xkcdFooterSibling(sibling, topCandidate, ctx)
       .orElse(seanGoedeckePostFooter(sibling, ctx))
+      .orElse(ghostArticleChrome(sibling, topCandidate, ctx))
       .orElse(devBlogsPostFooter(sibling, topCandidate, ctx))
 
   private val sgPreviewIntro =
@@ -996,6 +1059,7 @@ object SiteRules {
     // QQVoteContainerRule: later tier
     breitbartHeaderMedia(articleContent, ctx)
     // QuantaTopReactIDRule, HukumusumeLegacyFileURLRule (generic in Urls),
+    oneA23GalleryWrapper(articleContent, ctx)
     xkcdComicImageSource(articleContent, ctx)
     xeiasoDialogues(articleContent, ctx)
   }
