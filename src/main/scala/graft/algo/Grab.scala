@@ -30,7 +30,9 @@ final class Grab(
       textLength: Int, flags: Int)
 
   final case class GrabResult(content: Int, byline: Option[String], dir: Option[String],
-      lang: Option[String], flags: Int, neededToCreate: Boolean)
+      lang: Option[String], flags: Int, neededToCreate: Boolean,
+      /** failed earlier passes (HTML snapshots) for the empty-text retry */
+      attempts: Seq[Attempt] = Nil)
 
   private var flags = FlagsAll
   private var articleByline: Option[String] = None
@@ -59,7 +61,8 @@ final class Grab(
       val textLength = acceptanceTextLength(content, flags)
       lastTextLength = textLength
       if (textLength >= opts.charThreshold) {
-        return Right(GrabResult(content, articleByline, articleDir, articleLang, flags, neededToCreate))
+        return Right(GrabResult(content, articleByline, articleDir, articleLang, flags,
+          neededToCreate, attempts.toSeq))
       }
 
       attempts += Attempt(graft.html.Serialize.innerHtml(dom, content),
@@ -80,7 +83,8 @@ final class Grab(
               dom.appendChild(content, dom.importSubtree(fragment, c))
               c = fragment.nextSib(c)
             }
-            return Right(GrabResult(content, b.byline, b.dir, articleLang, b.flags, neededToCreate = false))
+            return Right(GrabResult(content, b.byline, b.dir, articleLang, b.flags,
+              neededToCreate = false, attempts.toSeq.filterNot(_ eq b)))
           case _ =>
             return Left((lastTextLength, opts.charThreshold))
         }

@@ -116,35 +116,68 @@ object Readability {
       innerText(dom, articleContent)
     }
 
+    // 10. empty-text retry over the other attempts sorted by length
+    // (`Readability.swift:179-202`)
+    var finalContent = articleContent
+    var finalText = textContent
+    if (sTrim(finalText).isEmpty) {
+      val sorted = grabResult.attempts.sortBy(a => (-a.textLength, -a.flags))
+      var i = 0
+      while (i < sorted.length && sTrim(finalText).isEmpty) {
+        val att = sorted(i)
+        val fragment = Parser.parse("<body>" + att.html + "</body>")
+        val content = dom.newElement("div")
+        var c = fragment.firstChild(fragment.bodyEl)
+        while (c != -1) {
+          dom.appendChild(content, dom.importSubtree(fragment, c))
+          c = fragment.nextSib(c)
+        }
+        val cleaner = new Cleaner(dom, opts,
+          allowConditionalCleaning = (att.flags & Config.FlagCleanConditionally) != 0,
+          allowWeightClasses = (att.flags & Config.FlagWeightClasses) != 0,
+          siteRuleHook = cleanerHook)
+        cleaner.prepArticle(content)
+        cleaner.postProcessArticle(content)
+        Metadata.removeTitleMatchedHeaders(dom, content, title)
+        cleaner.trimBoundaryNonContent(content)
+        val text = innerText(dom, content)
+        if (sTrim(text).nonEmpty) {
+          finalContent = content
+          finalText = text
+        }
+        i += 1
+      }
+    }
+
     // 11. excerpt (+ excerpt site rules when no metadata excerpt)
     val excerpt = metadata.excerpt.orElse(
       SiteRules.applyExcerptRules(
-        Metadata.extractExcerpt(dom, articleContent), articleContent, siteCtx))
+        Metadata.extractExcerpt(dom, finalContent), finalContent, siteCtx))
 
     // 12. page wrapper (Z1)
     val pageWrapper = dom.newElement("div")
     dom.setAttr(pageWrapper, "id", "readability-page-1")
     dom.setAttr(pageWrapper, "class", "page")
-    dom.moveChildren(articleContent, pageWrapper)
-    dom.appendChild(articleContent, pageWrapper)
+    dom.moveChildren(finalContent, pageWrapper)
+    dom.appendChild(finalContent, pageWrapper)
 
     // 13. fix URIs → simplify → clean classes → polish (Z2–Z5)
     val post = new Post(dom, opts, docLocation)
-    post.fixRelativeUris(articleContent)
-    post.simplifyNestedElements(articleContent)
-    SiteRules.applySerializationRules(articleContent, siteCtx)
-    post.normalizeSplitPrintInfo(articleContent)
+    post.fixRelativeUris(finalContent)
+    post.simplifyNestedElements(finalContent)
+    SiteRules.applySerializationRules(finalContent, siteCtx)
+    post.normalizeSplitPrintInfo(finalContent)
     if (!opts.keepClasses) {
       val preserved = (Config.classesToPreserveDefault ++ opts.classesToPreserve).toSet
-      post.cleanClasses(articleContent, preserved)
+      post.cleanClasses(finalContent, preserved)
     }
-    post.trimParagraphBoundaryWhitespace(articleContent)
-    post.restoreFigureWrapperMetadata(articleContent)
+    post.trimParagraphBoundaryWhitespace(finalContent)
+    post.restoreFigureWrapperMetadata(finalContent)
 
     val contentRoot = {
       // serialize the pageWrapper (the content div's single child)
-      val els = dom.childElements(articleContent)
-      if (els.nonEmpty) els(0) else articleContent
+      val els = dom.childElements(finalContent)
+      if (els.nonEmpty) els(0) else finalContent
     }
     val contentHtml = Serialize.html(dom, contentRoot)
     val spans = Serialize.spans(dom, contentRoot).toIndexedSeq
@@ -165,9 +198,9 @@ object Readability {
       lang = grabResult.lang,
       contentHtml = contentHtml,
       spans = spans,
-      textContent = textContent,
+      textContent = finalText,
       excerpt = excerpt,
-      length = Config.charLen(textContent),
+      length = Config.charLen(finalText),
       siteName = metadata.siteName,
       publishedTime = metadata.publishedTime))
   }
