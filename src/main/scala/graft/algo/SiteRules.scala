@@ -142,7 +142,37 @@ object SiteRules {
     antirezLeadingInfo(articleContent, ctx)
     mksiteLeadingPublication(articleContent, ctx)
     substackDiscussionFooter(articleContent, ctx)
+    fabienSanglardLeadingChrome(articleContent, ctx)
     // remaining ~30 rules: later tiers
+  }
+
+  /** `FabienSanglardLeadingChromeRule`: drop banner + heading chrome up to
+    * the first separator <hr>.
+    */
+  private def fabienSanglardLeadingChrome(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val center = Select.selectFirst(dom, articleContent, "> center")
+    if (center == -1) return
+    val banner = Select.selectFirst(dom, center, "a[href=/]")
+    if (banner == -1 || !innerText(dom, banner).toUpperCase.contains("FABIEN SANGLARD")) return
+    def dropLeadingBrs(): Unit = {
+      var first = dom.childElements(articleContent).headOption.getOrElse(-1)
+      while (first != -1 && dom.tag(first) == "br") {
+        dom.remove(first)
+        first = dom.childElements(articleContent).headOption.getOrElse(-1)
+      }
+    }
+    dropLeadingBrs()
+    dom.remove(center)
+    dropLeadingBrs()
+    val hr = Select.selectFirst(dom, articleContent, "> hr")
+    if (hr == -1) return
+    var first = dom.childElements(articleContent).headOption.getOrElse(-1)
+    while (first != -1 && first != hr) {
+      dom.remove(first)
+      first = dom.childElements(articleContent).headOption.getOrElse(-1)
+    }
+    dom.remove(hr)
   }
 
   /** `MksiteLeadingPublicationRule`: strip the lead metadata cluster
