@@ -117,10 +117,17 @@ object Readability {
     }
 
     // 10. empty-text retry over the other attempts sorted by length
-    // (`Readability.swift:179-202`)
+    // (`Readability.swift:174-202`). When a retry attempt wins, the
+    // reference also adopts the attempt's byline/dir/flags — not just its
+    // content. Textless-but-valid articles (comic pages) are kept as-is via
+    // the TextlessArticleContentSiteRule gate (`Readability.swift:175-179`).
     var finalContent = articleContent
     var finalText = textContent
-    if (sTrim(finalText).isEmpty) {
+    var finalByline = grabResult.byline
+    var finalDir = grabResult.dir
+    val keepTextless = sTrim(finalText).isEmpty &&
+      SiteRules.shouldKeepTextlessArticleContent(finalContent, siteCtx)
+    if (sTrim(finalText).isEmpty && !keepTextless) {
       val sorted = grabResult.attempts.sortBy(a => (-a.textLength, -a.flags))
       var i = 0
       while (i < sorted.length && sTrim(finalText).isEmpty) {
@@ -144,6 +151,8 @@ object Readability {
         if (sTrim(text).nonEmpty) {
           finalContent = content
           finalText = text
+          finalByline = att.byline
+          finalDir = att.dir
         }
         i += 1
       }
@@ -182,19 +191,20 @@ object Readability {
     val contentHtml = Serialize.html(dom, contentRoot)
     val spans = Serialize.spans(dom, contentRoot).toIndexedSeq
 
-    // 14. byline merge (M5) + byline site rules
+    // 14. byline merge (M5) + byline site rules — uses the byline of the
+    // WINNING extraction (possibly a retry attempt's), per the reference.
     val mergedByline: Option[String] = metadata.byline match {
       case Some(mb) if Metadata.isLowQualityMetadataByline(mb) =>
-        grabResult.byline.map(_.trim).filter(_.nonEmpty)
+        finalByline.map(_.trim).filter(_.nonEmpty)
       case Some(mb) => Some(mb)
-      case None => grabResult.byline
+      case None => finalByline
     }
     val byline = SiteRules.applyBylineRules(mergedByline, siteCtx)
 
     Ok(Result(
       title = title,
       byline = byline,
-      dir = grabResult.dir,
+      dir = finalDir,
       lang = grabResult.lang,
       contentHtml = contentHtml,
       spans = spans,

@@ -379,6 +379,16 @@ object SiteRules {
   private def hasComicImage(dom: Dom, el: Int): Boolean =
     Select.select(dom, el, "img").exists(isComicImage(dom, _))
 
+  /** `XkcdTextlessComicContentRule` (`SiteRuleRegistry.swift:123-136`,
+    * `XkcdComicContentRule.swift:75-84`): textless article content is kept
+    * (not replaced by a failed-attempt retry) when it is a comic frame.
+    */
+  def shouldKeepTextlessArticleContent(articleContent: Int, ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    val middle = Select.selectFirst(dom, articleContent, "#middleContainer")
+    middle != -1 && hasComicImage(dom, middle)
+  }
+
   // ----------------------------------------------------------- xeiaso
 
   private def isXeiasoUrl(raw: String): Boolean = {

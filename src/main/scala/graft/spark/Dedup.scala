@@ -66,7 +66,7 @@ object Dedup {
       }
       new String(out)
     }
-    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val n = math.max(norm.length - shingleK + 1, 1)
     val seen = new java.util.HashSet[String]()
     val sig = Array.fill(nHashes)("￿")

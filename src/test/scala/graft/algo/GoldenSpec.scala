@@ -39,7 +39,7 @@ class GoldenSpec extends AnyFunSuite {
     val contentPass = results.values.count(_.spansMatch)
     info(s"realworld-pages: $fullPass/${results.size} full, $contentPass/${results.size} content")
     assert(fullPass >= 71, s"regression: $fullPass full passes < 71")
-    assert(contentPass >= 71, s"regression: $contentPass content passes < 69")
+    assert(contentPass >= 71, s"regression: $contentPass content passes < 71")
   }
 
   test("ex-pages: tracked pass rate does not regress") {
