@@ -50,16 +50,21 @@ object Queries {
     graft.spark.Pipeline.metrics(graft.spark.Pipeline.extract(docs))
   }
 
-  /** Lineage + resume path: extract half the corpus, record lineage, then
-    * resume over the full corpus anti-joining completed docs. Rows-only.
+  /** Lineage + resume path: simulate a first run that completed half the
+    * resume buckets, then resume — the filter is a map-only codegen'd
+    * InSet on the deterministic part_key (no corpus shuffle, no broadcast;
+    * see [[graft.spark.Lineage]]). Rows-only.
     */
   def x3_extract_resume(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val enc = org.apache.spark.sql.Encoders.product[graft.spark.Doc]
     val n = corpusSize(dir)
+    val nParts = 32
     val all = graft.spark.Corpus.generate(s, n)
-    val done = all.filter(col("doc_id") < f"doc_${n / 2}%012d").select(col("doc_id"))
-    val remaining = graft.spark.Lineage.resumeFilter(all.toDF(), done.toDF()).as[graft.spark.Doc](enc)
+    // lineage table of a prior run that finished part_keys 0..15
+    val doneLineage = s.range(nParts / 2).select(col("id").as("part_key"))
+    val remaining = graft.spark.Lineage.resumeFilter(all.toDF(), doneLineage, nParts)
+      .as[graft.spark.Doc](enc)
     graft.spark.Pipeline.extract(remaining)
       .select(col("doc_id"), col("status"), col("text_length").cast("long").as("text_length"))
       .orderBy(col("doc_id"))
@@ -261,28 +266,40 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** MinHash-LSH near-duplicate candidate pairs (rows-only: banding uses
-    * the same md5 family but the multi-stage join is validated by the
-    * Jaccard ground truth in tests rather than the SQL oracle).
+  /** MinHash-LSH near-duplicate candidate pairs (md5 hash family →
+    * portable: the full shingle→signature→band→self-join stack replays in
+    * the DuckDB oracle, including the degenerate-bucket cap).
     */
   def d7_minhash_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    // the generic LSH layer orients pairs by STRING id compare; re-orient
+    // numerically for the oracle ("27" < "7" lexicographically)
     graft.spark.Dedup.minhashLshPairs(t(s, dir, "documents"))
+      .select(
+        least($"doc_a".cast("long"), $"doc_b".cast("long")).as("doc_a"),
+        greatest($"doc_a".cast("long"), $"doc_b".cast("long")).as("doc_b"),
+        $"n_shared_bands")
       .orderBy($"doc_a", $"doc_b")
 
-  /** Exact 5-gram Jaccard with sim ≥ 0.2 over a bounded doc subset — the
-    * all-pairs product is quadratic, so the exact variant is only ever run
-    * on a candidate set (here: doc_id < 300; at scale: LSH candidates from
-    * d7). Oracle replays with DuckDB list functions.
+  /** Exact 5-gram Jaccard with sim ≥ 0.2 over the d7 LSH candidate pairs —
+    * the production dedup shape: candidates from banding, exact Jaccard
+    * only on colliding pairs (O(|pairs|), no cross product anywhere).
     */
-  def d8_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Dedup.jaccardPairs(
-      t(s, dir, "documents").filter($"doc_id" < 300), threshold = 0.2)
+  def d8_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.spark.Dedup.minhashLshPairs(docs)
+      .select(
+        least($"doc_a".cast("long"), $"doc_b".cast("long")).as("doc_a"),
+        greatest($"doc_a".cast("long"), $"doc_b".cast("long")).as("doc_b"))
+    graft.spark.Dedup.jaccardPairs(docs, cand, threshold = 0.2)
       .orderBy($"doc_a", $"doc_b")
+  }
 
-  /** SimHash fingerprints (rows-only: xxhash64 family is Spark-specific). */
+  /** SimHash fingerprints (rows-only: xxhash64 family is Spark-specific;
+    * JVM path is asserted bit-identical to the column formulation in
+    * OpsSpec).
+    */
   def d9_simhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select($"doc_id", graft.spark.Dedup.simhash($"text").as("simhash"))
+    graft.spark.Dedup.simhashDf(t(s, dir, "documents"))
       .orderBy($"doc_id")
 
   /** LSH-bucketed approximate cosine top-k (the ANN scale path; rows-only —
@@ -462,21 +479,29 @@ object Queries {
         |  list_min(list_transform(sset, s -> md5('2#' || s))) AS mh2,
         |  list_min(list_transform(sset, s -> md5('3#' || s))) AS mh3
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "d7_minhash_lsh_pairs" ->
+      (lshBucketsSqlCtes +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+          |FROM capped a JOIN capped b
+          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "d8_jaccard_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 4, 1)),
-        |      i -> substring(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 5))) AS sset
-        |  FROM documents WHERE doc_id < 300)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-        |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1), 4) AS jaccard
-        |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id
-        |  AND round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-        |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1), 4) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      (lshBucketsSqlCtes +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM capped a JOIN capped b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, jaccard FROM (
+          |  SELECT p.doc_a, p.doc_b,
+          |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+          |      / greatest(len(list_distinct(list_concat(sa.sset, sb.sset))), 1), 4) AS jaccard
+          |  FROM pairs p
+          |  JOIN sh sa ON sa.doc_id = p.doc_a
+          |  JOIN sh sb ON sb.doc_id = p.doc_b)
+          |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
     "e1_cosine_topk" ->
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -493,6 +518,32 @@ object Queries {
         |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
   )
+
+  /** Shared DuckDB CTE chain replaying the d7 MinHash-LSH stack: 5-char
+    * shingles → 16-slot md5 minhash signature → 4 banded bucket hashes →
+    * degenerate-bucket cap (≤ 256, mirroring
+    * [[graft.spark.Dedup.minhashLshPairs]] exactly).
+    */
+  private def lshBucketsSqlCtes: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 4, 1)),
+      |      i -> substring(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 5))) AS sset
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 15),
+      |      h -> list_min(list_transform(sset, s -> md5(CAST(h AS VARCHAR) || '#' || s)))) AS sig
+      |  FROM sh),
+      |buckets AS (
+      |  SELECT doc_id, band,
+      |    md5(CAST(band AS VARCHAR) || '|' || sig[band*4+1] || '|' || sig[band*4+2]
+      |      || '|' || sig[band*4+3] || '|' || sig[band*4+4]) AS bucket
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+      |capped AS (
+      |  SELECT doc_id, band, bucket FROM buckets
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 256)""".stripMargin
 
   /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */
   private def langHitsSql(words: Seq[String]): String =

@@ -37,41 +37,120 @@ object Ann {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
-  /** Deterministic sign-LSH signature: bit h = sign(Σ_j s(h,j)·v_j) with
-    * s(h,j) = ±1 from xxhash64 parity. `nTables` independent signatures of
-    * `nBits` bits each are emitted as bucket strings.
+  /** Deterministic sign-LSH signature family: bit h of table t is
+    * sign(Σ_j s(t,h,j)·v_j) with s(t,h,j) = ±1 from xxhash64 parity
+    * (seed chain hashInt(j, hashInt(t·1000+h, 42)) — the same family the
+    * round-1 Catalyst-HOF formulation used, now a single tight JVM pass
+    * per vector: the HOF version evaluated nTables×nBits interpreted
+    * `aggregate(zip_with(...))` traversals per row, ~dims×64 hash calls,
+    * and cost MORE than the brute-force scorer it was meant to beat).
     */
-  def lshBuckets(vec: Column, nTables: Int, nBits: Int): Column = {
-    val v = asDouble(vec)
-    array((0 until nTables).map { t =>
-      val bits = (0 until nBits).map { h =>
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-            x * (pmod(xxhash64(lit(t * 1000 + h), j), lit(2)).cast("double") * 2.0 - 1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit("1")).otherwise(lit("0"))
+  def signBucketsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[String] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val out = new Array[String](nTables)
+    var t = 0
+    while (t < nTables) {
+      val sb = new java.lang.StringBuilder(nBits + 4)
+      sb.append(t).append(':')
+      var h = 0
+      while (h < nBits) {
+        val seedHash = XXH64.hashInt(t * 1000 + h, 42L)
+        var proj = 0.0
+        var j = 0
+        while (j < vec.length) {
+          // pmod(x, 2) == (x & 1) in two's complement
+          val sign = if ((XXH64.hashInt(j, seedHash) & 1L) == 1L) 1.0 else -1.0
+          proj += vec(j) * sign
+          j += 1
+        }
+        sb.append(if (proj >= 0) '1' else '0')
+        h += 1
       }
-      concat((lit(s"$t:") +: bits): _*)
-    }: _*)
+      out(t) = sb.toString
+      t += 1
+    }
+    out
   }
 
-  /** LSH-bucketed ANN: candidates and queries bucketed with the same
-    * hash family; exact cosine computed only for colliding pairs.
+  /** LSH-bucketed ANN for a QUERY SET against a huge candidate corpus:
+    * the query side is indexed bucket→(id, vector, norm) and broadcast
+    * (the query set is small by contract — same contract as
+    * [[cosineTopK]]'s `broadcast(q)`); candidates stream MAP-ONLY through
+    * one scan that computes their signatures, probes the index, and scores
+    * only colliding pairs. The per-candidate probe dedups query hits
+    * locally, so pairs are globally unique without a dropDuplicates
+    * shuffle — the ONLY shuffle in the whole plan is the final per-query
+    * top-k (tiny: surviving pairs).
+    *
+    * This replaces a round-1 formulation whose bucket join exploded full
+    * vectors nTables× into a shuffle and computed signatures with
+    * interpreted Catalyst HOFs (~dims×nTables×nBits hash evaluations per
+    * row), costing more than the brute force it was meant to beat.
+    * Corpus×corpus near-dup search is a different operator — that is
+    * [[graft.spark.Dedup.minhashLshPairs]]-style bucketed self-join.
+    * Ids must be long-castable.
     */
   def lshCosineTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nTables: Int = 8, nBits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vout: String): DataFrame =
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vout),
-          explode(lshBuckets(col(vecCol), nTables, nBits)).as("bucket"))
-    val cand = withBuckets(candidates, "vec_id", "v")
-    val q = withBuckets(queries, "query_id", "qv")
-    val pairs = cand.join(q, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
-      .dropDuplicates("query_id", "vec_id")
-    val scored = pairs.select(col("query_id"), col("vec_id"),
-      round(cosine(col("qv"), col("v")), 3).as("cosine"))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])].collect()
+    val qIndex = new java.util.HashMap[String, Array[(Long, Array[Double], Double)]]()
+    qRows.foreach { case (qid, qv) =>
+      val arr = qv.toArray
+      val nrm = math.sqrt(dotJvm(arr, arr))
+      signBucketsJvm(arr, nTables, nBits).foreach { b =>
+        val prev = qIndex.get(b)
+        val entry = (qid, arr, nrm)
+        qIndex.put(b, if (prev == null) Array(entry) else prev :+ entry)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(qIndex)
+
+    val scored = candidates
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (vid, vseq) =>
+          val v = vseq.toArray
+          val vn = math.sqrt(dotJvm(v, v))
+          val seen = new java.util.HashSet[Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val buckets = signBucketsJvm(v, nTables, nBits)
+          var bi = 0
+          while (bi < buckets.length) {
+            val hits = idx.get(buckets(bi))
+            if (hits != null) {
+              var qi = 0
+              while (qi < hits.length) {
+                val (qid, qv, qn) = hits(qi)
+                if (qid != vid && seen.add(qid)) {
+                  // mirror Column round(x, 3): HALF_UP on shortest decimal
+                  val c = java.math.BigDecimal.valueOf(dotJvm(qv, v) / (qn * vn))
+                    .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+                  out += ((qid, vid, c))
+                }
+                qi += 1
+              }
+            }
+            bi += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("query_id", "vec_id", "cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)

@@ -93,14 +93,35 @@ object Dedup {
     * text): shingle → minhash (typed layer) → band → self-join on band
     * bucket. Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b (ids
     * as strings).
+    *
+    * `maxBucketSize` caps degenerate buckets: a bucket of m docs emits
+    * m(m−1)/2 pairs, so one boilerplate-heavy bucket (empty docs, shared
+    * chrome) turns the self-join quadratic — the classic skewed-key
+    * shuffle-killer. Standard LSH practice is to drop oversized buckets
+    * outright: they carry no near-dup signal (a bucket that a large
+    * fraction of the corpus lands in is by definition not discriminating).
+    * The window count and the join shuffle on the same (band, bucket) key,
+    * so the cap adds no extra shuffle of the signatures.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 5, nHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = docs
+    // The signature step is CPU-bound at ~100× the scan cost per byte, so
+    // its parallelism must come from partition COUNT, not byte count: a
+    // small corpus arrives as a single row-group (one scan task) and would
+    // run the whole md5 family on one core. Spread ONLY in that case — at
+    // 100 TB the scan itself supplies thousands of tasks and a text
+    // repartition would be a pointless full-corpus shuffle.
+    val spread = math.max(spark.sparkContext.defaultParallelism * 2,
+      spark.sessionState.conf.numShufflePartitions)
+    val projected = docs
       .select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    val prepared =
+      if (projected.rdd.getNumPartitions < spread) projected.repartition(spread)
+      else projected
+    val sig = prepared
       .as[(String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -109,30 +130,93 @@ object Dedup {
         }
       }
       .toDF("id", "band", "bucket")
-    val a = sig.select(col("id").as("doc_a"), col("band"), col("bucket"))
-    val b = sig.select(col("id").as("doc_b"), col("band"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val capped = sig
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val a = capped.select(col("id").as("doc_a"), col("band"), col("bucket"))
+    val b = capped.select(col("id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Exact n-gram Jaccard similarity for a set of candidate pairs (or all
-    * pairs when `pairs` is null — only for small tables). Pure built-ins:
-    * array_intersect / array_union sizes.
+  /** Exact n-gram Jaccard similarity for an explicit CANDIDATE pair set
+    * (normally [[minhashLshPairs]] output) — no cross product anywhere, so
+    * the cost is O(|pairs|), not O(|docs|²).
+    *
+    * Shuffle discipline: the joins attach raw TEXT (≈ doc bytes) to each
+    * pair side; shingle sets are built and intersected in the typed layer
+    * with a per-partition doc cache. The earlier column formulation
+    * equi-joined materialized shingle ARRAYS (~10–20× the doc bytes, and
+    * interpreted `array_intersect` per row) — shuffling text instead keeps
+    * the exchange payload proportional to the corpus slice actually
+    * paired. Ids must be long-castable.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+  def jaccardPairs(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 5,
       threshold: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-    val a = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val txt = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val joined = pairs
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .join(txt.select(col("id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(txt.select(col("id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+    val scored = joined.mapPartitions { it =>
+      // docs recur across pairs (~|pairs|·2/|involved| times) — LRU the sets
+      val cache = new java.util.LinkedHashMap[Long, java.util.HashSet[String]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, java.util.HashSet[String]]): Boolean = size > 4096
+      }
+      def sset(id: Long, text: String): java.util.HashSet[String] = {
+        val hit = cache.get(id)
+        if (hit != null) return hit
+        val norm = Option(text).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val set = new java.util.HashSet[String]()
+        val n = math.max(norm.length - shingleK + 1, 1)
+        var i = 0
+        while (i < n) {
+          set.add(norm.substring(i, math.min(i + shingleK, norm.length)))
+          i += 1
+        }
+        cache.put(id, set)
+        set
+      }
+      it.map { case (a, b, ta, tb) =>
+        val sa = sset(a, ta)
+        val sb = sset(b, tb)
+        val (small, big) = if (sa.size < sb.size) (sa, sb) else (sb, sa)
+        var inter = 0
+        val itr = small.iterator()
+        while (itr.hasNext) if (big.contains(itr.next())) inter += 1
+        val union = sa.size + sb.size - inter
+        // mirror Spark/DuckDB round(x, 4): HALF_UP on the shortest decimal
+        val j = java.math.BigDecimal.valueOf(inter.toDouble / math.max(union, 1))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (a, b, j)
+      }
+    }
+    scored.toDF("doc_a", "doc_b", "jaccard").filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs variant for BOUNDED candidate sets only (tests, small
+    * tables): generates the id cross product, then delegates to the
+    * equi-join path. Never call on an unbounded table.
+    */
+  def jaccardAllPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 5,
+      threshold: Double = 0.0): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"))
+    val pairs = ids.select(col("id").as("doc_a"))
+      .crossJoin(ids.select(col("id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    jaccardPairs(docs, pairs, idCol, textCol, shingleK, threshold)
   }
 
   /** SimHash (64-bit) over whitespace tokens: per-token xxhash64, bitwise
@@ -154,6 +238,54 @@ object Dedup {
           (c, h) => c + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(0))
         acc.bitwiseOR(when(cnt * 2 >= n, mask).otherwise(lit(0L)))
       })
+  }
+
+  /** JVM-side SimHash of one text — bit-for-bit identical to [[simhash]]
+    * (same Spark xxhash64 family via catalyst XXH64, same tokenization,
+    * same majority rule) but a single tight pass per row instead of 64
+    * interpreted Catalyst HOF traversals of the token-hash array.
+    */
+  def simhashJvm(text: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ")
+    val counts = new Array[Int](64)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        n += 1
+        val u = UTF8String.fromString(toks(i))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash fingerprints for a whole table, typed-layer hot path. */
+  def simhashDf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, simhashJvm(Option(text).getOrElse("")))
+      })
+      .toDF(idCol, "simhash")
   }
 
   /** Hamming distance between two 64-bit simhashes. */

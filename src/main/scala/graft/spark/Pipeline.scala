@@ -1,7 +1,6 @@
 package graft.spark
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed extraction skeleton (SURVEY.md §2.0):
@@ -103,29 +102,26 @@ object Pipeline {
     }
   }
 
-  /** Extraction with per-partition lineage emission: wraps the iterator so
-    * a lineage row is produced when the partition completes (S3/S4).
+  /** Single-pass extraction with durable lineage (S3/S4): extract → write
+    * the sink ONCE (tagged with the deterministic resume [[Lineage.partKey]])
+    * → derive lineage by aggregating the COMMITTED output table.
+    *
+    * Scale rationale (replaces the round-1 `.cache()` two-pass design):
+    * the corpus-sized dataset is never cached or recomputed — the only
+    * extra cost is one scan of the (much smaller) output table. Deriving
+    * lineage from committed files also makes it exactly-once under task
+    * retries: a re-run task's uncommitted output is never counted.
     */
-  def extractWithLineage(docs: Dataset[Doc], runId: String, cfg: Config = Config())(
+  def extractToSink(docs: Dataset[Doc], runId: String, outPath: String,
+      cfg: Config = Config(), nParts: Int = Lineage.defaultParts)(
       implicit spark: SparkSession): (Dataset[ExtractedDoc], Dataset[LineageRow]) = {
     import spark.implicits._
-    val extracted = extract(docs, cfg).cache()
-    val lineage = extracted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var nDocs = 0L
-      var nErrors = 0L
-      var sumLen = 0L
-      var maxDocId = ""
-      while (it.hasNext) {
-        val d = it.next()
-        nDocs += 1
-        if (d.status != "ok") nErrors += 1
-        sumLen += d.text_length
-        if (d.doc_id > maxDocId) maxDocId = d.doc_id
-      }
-      Iterator.single(LineageRow(runId, pid, nDocs, nErrors, sumLen, maxDocId))
-    }
-    (extracted, lineage)
+    extract(docs, cfg)
+      .withColumn("part_key", Lineage.partKey(col("doc_id"), nParts))
+      .write.mode("overwrite").parquet(outPath)
+    val written = spark.read.parquet(outPath)
+    val extracted = written.drop("part_key").as[ExtractedDoc]
+    (extracted, Lineage.fromOutput(written, runId))
   }
 
   /** Extraction quality metrics: one row per status with counts and text
@@ -142,17 +138,60 @@ object Pipeline {
 
 final case class LineageRow(
     run_id: String,
-    partition_id: Int,
+    part_key: Long,
     n_docs: Long,
     n_errors: Long,
     sum_text_length: Long,
     max_doc_id: String)
 
+/** Resume bookkeeping at PARTITION-KEY granularity.
+  *
+  * The round-1 design anti-joined (broadcast) on doc_id — at 10^12 docs a
+  * restart's "done" set is billions of ids and the broadcast OOMs the
+  * driver. The unit of resume here is instead a deterministic hash bucket
+  * of doc_id: the done set is bounded by `nParts` (~10^5–10^6 even at
+  * 100 TB with 128 MB output partitions), NEVER by doc count.
+  */
 object Lineage {
-  /** Resume: drop docs whose partition already completed in a previous
-    * run — left_anti join against the lineage table (broadcast: lineage is
-    * tiny relative to docs).
+
+  /** Default resume granularity — sized so the done-key set stays a few MB
+    * at 100 TB while each bucket is still a small fraction of the corpus.
     */
-  def resumeFilter(docs: DataFrame, doneDocIds: DataFrame): DataFrame =
-    docs.join(broadcast(doneDocIds), Seq("doc_id"), "left_anti")
+  val defaultParts: Int = 1 << 16
+
+  /** Deterministic resume key: a pure function of doc_id, so a restarted
+    * job recomputes identical buckets regardless of scan partitioning.
+    */
+  def partKey(docId: Column, nParts: Int): Column =
+    pmod(xxhash64(docId), lit(nParts.toLong))
+
+  /** Lineage rows aggregated from the COMMITTED output table (one cheap
+    * scan of the output, AQE-coalesced; exactly-once under task retry).
+    */
+  def fromOutput(written: DataFrame, runId: String)(
+      implicit spark: SparkSession): Dataset[LineageRow] = {
+    import spark.implicits._
+    written.groupBy(col("part_key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_errors"),
+        sum(col("text_length").cast("long")).as("sum_text_length"),
+        max(col("doc_id")).as("max_doc_id"))
+      .select(lit(runId).as("run_id"), col("part_key"), col("n_docs"),
+        col("n_errors"), col("sum_text_length"), col("max_doc_id"))
+      .as[LineageRow]
+  }
+
+  /** Resume: drop docs whose part_key completed in a previous run.
+    *
+    * The done-key set is collected once (bounded by nParts, see class doc)
+    * and pushed into a codegen'd `InSet` predicate — the resumed scan stays
+    * MAP-ONLY: no shuffle of the corpus, no join, no BroadcastExchange.
+    */
+  def resumeFilter(docs: DataFrame, doneLineage: DataFrame, nParts: Int = defaultParts): DataFrame = {
+    val doneKeys: Seq[Long] = doneLineage.select(col("part_key").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (doneKeys.isEmpty) docs
+    else docs.filter(!partKey(col("doc_id"), nParts).isInCollection(doneKeys))
+  }
 }

@@ -44,11 +44,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("jaccard pairs agree with set semantics") {
-    val rows = Dedup.jaccardPairs(docsDf, threshold = 0.0).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // column order after the equi-joins is (doc_b, doc_a, jaccard)
+    val rows = Dedup.jaccardAllPairs(docsDf, threshold = 0.0).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
     assert(rows((1L, 4L)) == 1.0) // identical
     assert(rows((1L, 2L)) > 0.8) // near dup
     assert(rows((3L, 5L)) < 0.2) // unrelated
+  }
+
+  test("jaccard on explicit candidate pairs has no cartesian product") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 4L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val df = Dedup.jaccardPairs(docsDf, pairs, threshold = 0.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(df.count() == 3)
+  }
+
+  test("lsh bucket cap: pathological all-identical corpus finishes bounded") {
+    val s = spark
+    import s.implicits._
+    // 400 identical docs → every band bucket holds all 400; uncapped this
+    // is ~319k pairs from pure boilerplate — the cap drops the buckets
+    val clones = (1L to 400L).map(i => (i, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(clones, maxBucketSize = 50)
+    assert(pairs.count() == 0)
+    // with the cap above the bucket size the pairs come back
+    val uncapped = Dedup.minhashLshPairs(clones.limit(10), maxBucketSize = 500)
+    assert(uncapped.count() == 45)
   }
 
   test("simhash: near-dups have small hamming distance") {
@@ -61,6 +86,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ham(h(1L), h(4L)) == 0)
     assert(ham(h(1L), h(2L)) <= 8)
     assert(ham(h(1L), h(3L)) > 10)
+  }
+
+  test("simhashJvm is bit-identical to the Catalyst column formulation") {
+    val s = spark
+    import s.implicits._
+    val colVals = docsDf.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jvmVals = Dedup.simhashDf(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jvmVals == colVals)
   }
 
   test("ann: lsh top-k achieves high recall vs exact baseline") {

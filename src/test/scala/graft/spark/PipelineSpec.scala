@@ -75,17 +75,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("lineage rows cover all docs; resume filter drops completed work") {
+  test("lineage rows cover all docs; resume filter drops completed part_keys") {
     implicit val s: SparkSession = spark
     import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
     val docs = Corpus.generate(spark, 16, nPartitions = 4)
-    val (extracted, lineage) = Pipeline.extractWithLineage(docs, "run-1", Pipeline.Config(nSalts = 4))
-    val lrows = lineage.collect()
-    assert(lrows.map(_.n_docs).sum == 16)
-    val done = docs.limit(8).select("doc_id")
-    val remaining = Lineage.resumeFilter(docs.toDF(), done).count()
-    assert(remaining == 8)
-    extracted.unpersist()
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    try {
+      val (extracted, lineage) = Pipeline.extractToSink(docs, "run-1", out,
+        Pipeline.Config(nSalts = 4), nParts)
+      // single-pass: the extraction plan must not cache the corpus
+      assert(!extracted.queryExecution.executedPlan.toString.contains("InMemoryRelation"))
+      val lrows = lineage.collect()
+      assert(lrows.map(_.n_docs).sum == 16)
+      assert(extracted.count() == 16)
+      // resume: drop the buckets the first run completed
+      val doneKeys = lrows.map(_.part_key).take(lrows.length / 2)
+      val doneLineage = doneKeys.toSeq.toDF("part_key")
+      val resumed = Lineage.resumeFilter(docs.toDF(), doneLineage, nParts)
+      val expectedDropped = lrows.filter(r => doneKeys.contains(r.part_key)).map(_.n_docs).sum
+      assert(resumed.count() == 16 - expectedDropped)
+      // resumed docs ∩ done buckets = ∅
+      val leftover = resumed.withColumn("pk", Lineage.partKey(col("doc_id"), nParts))
+        .filter(col("pk").isInCollection(doneKeys.toSeq)).count()
+      assert(leftover == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("resume stays map-only even with a done set too large to broadcast") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // a "done" lineage the size of a big restart's bookkeeping: 200k keys —
+    // broadcast-hostile if the plan were a join; fine as a collected InSet
+    val nParts = 1 << 20
+    val doneLineage = spark.range(200000).select(org.apache.spark.sql.functions.col("id").as("part_key"))
+    val docs = Corpus.generate(spark, 8, nPartitions = 2)
+    val resumed = Lineage.resumeFilter(docs.toDF(), doneLineage, nParts)
+    val plan = resumed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    resumed.count() // executes without driver-side blowup
   }
 
   test("poison rows yield error status, never throw") {
