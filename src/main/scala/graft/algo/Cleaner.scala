@@ -628,7 +628,10 @@ final class Cleaner(dom: Dom, opts: Options,
     }
 
     val weight = cleanerClassWeight(node)
-    if (weight < 0) { dom.remove(node); return }
+    if (weight < 0) {
+      Inspect.log("clean-cond")(s"remove(weight<0): ${Inspect.describe(dom, node)}")
+      dom.remove(node); return
+    }
 
     if (commaCount(text) >= 10) return
 
@@ -683,7 +686,14 @@ final class Cleaner(dom: Dom, opts: Options,
         if (img == liCount) shouldRemove = false
       }
     }
-    if (shouldRemove) dom.remove(node)
+    if (shouldRemove) {
+      Inspect.log("clean-cond") {
+        s"remove: ${Inspect.describe(dom, node)} p=$p img=$img li=$li input=$input " +
+          f"headDens=$headingDensity%.2f len=$contentLength dens=$density%.2f tDens=$tDensity%.2f w=$weight" +
+          s"\n    html=${graft.html.Serialize.html(dom, node).take(500)}"
+      }
+      dom.remove(node)
+    }
   }
 
   /** The cleaner's class weight uses literal substring matching of the
@@ -710,10 +720,20 @@ final class Cleaner(dom: Dom, opts: Options,
     weight
   }
 
+  /** Text density of `tags` descendants INCLUDING the element itself when
+    * it matches — SwiftSoup's `Element.select` evaluates the query against
+    * the receiver too (jsoup semantics), so in the reference a non-empty
+    * `div` always has textDensity ≥ 1 for a tag set containing "div" and
+    * the `img == 0 && textDensity == 0` conditional-clean branch only ever
+    * fires for EMPTY nodes. (`ArticleCleaner.swift:1236-1248`; the
+    * reference excludes the root only where it plants its explicit
+    * `data-readability-root-marker`.)
+    */
   private def textDensity(id: Int, tags: Set[String]): Double = {
     val total = textLength(dom, id)
     if (total == 0) return 0
     var childrenLength = 0
+    if (tags.contains(dom.tag(id))) childrenLength += total
     val children = dom.getElementsByTags(id, tags)
     var i = 0
     while (i < children.length) { childrenLength += textLength(dom, children(i)); i += 1 }

@@ -152,6 +152,20 @@ object FixtureRunner {
     * args: [corpus] [fixtureName]
     */
   def main(args: Array[String]): Unit = {
+    // inspect mode: `FixtureRunner inspect <corpus> <fixture>` dumps the
+    // per-phase extraction trace (candidates, promotions, sibling merge)
+    if (args.headOption.contains("inspect")) {
+      require(args.length >= 3, "usage: FixtureRunner inspect <corpus> <fixture>")
+      Inspect.enabled = true
+      Inspect.reset()
+      val dirs = corpusDirs(args(1)).filter(_.getFileName.toString == args(2))
+      require(dirs.nonEmpty, s"no fixture ${args(2)} in ${args(1)}")
+      val r = runOne(dirs.head)
+      Inspect.dump().foreach(println)
+      println(s"=> spans=${r.nOut}/${r.nExp} spansMatch=${r.spansMatch} metaDiffs=${r.metaDiffs}")
+      r.firstSpanDiff.foreach(d => println("  " + d.replace("\n", "\n  ")))
+      return
+    }
     val corpus = if (args.nonEmpty) args(0) else "test-pages"
     val only = if (args.length > 1) Some(args(1)) else None
     val dirs = corpusDirs(corpus).filter(d => only.forall(_ == d.getFileName.toString))

@@ -131,7 +131,14 @@ final class Grab(
       if (dom.kind(cur) == Dom.Element && scoring.isInitialized(cur)) initialized += cur
       cur = dom.nextInTree(cur, body)
     }
+    Inspect.log("candidates") {
+      initialized.sortBy(n => -scoring.contentScore(n)).take(8)
+        .map(Inspect.describe(dom, _, scoring)).mkString(" | ")
+    }
     val (topCandidate, neededToCreate) = selectTopCandidate(initialized, body)
+    Inspect.log("top-candidate") {
+      s"${Inspect.describe(dom, topCandidate, scoring)} neededToCreate=$neededToCreate flags=$flags"
+    }
 
     // dir must be read while the candidate is still in the page tree —
     // the merge below moves it into the detached article container
@@ -626,12 +633,18 @@ final class Grab(
       topCandidate = div
       neededToCreate = true
     } else {
-      topCandidate = findBetterTopCandidate(topCandidate, top)
+      def step(name: String, prev: Int, next: Int): Int = {
+        if (next != prev) Inspect.log("promotion") {
+          s"$name: ${Inspect.describe(dom, prev, scoring)} -> ${Inspect.describe(dom, next, scoring)}"
+        }
+        next
+      }
+      topCandidate = step("alt-ancestor", topCandidate, findBetterTopCandidate(topCandidate, top))
       scoring.initializeNodeIfNeeded(dom, topCandidate)
-      topCandidate = findBetterParentCandidate(topCandidate)
-      topCandidate = promoteSingleChildCandidate(topCandidate)
-      topCandidate = promoteSchemaArticleParentIfNeeded(topCandidate)
-      topCandidate = promoteSemanticMainAncestorIfNeeded(topCandidate)
+      topCandidate = step("parent-score", topCandidate, findBetterParentCandidate(topCandidate))
+      topCandidate = step("single-child", topCandidate, promoteSingleChildCandidate(topCandidate))
+      topCandidate = step("schema/site", topCandidate, promoteSchemaArticleParentIfNeeded(topCandidate))
+      topCandidate = step("semantic-main", topCandidate, promoteSemanticMainAncestorIfNeeded(topCandidate))
     }
     (topCandidate, neededToCreate)
   }
@@ -813,6 +826,10 @@ final class Grab(
         } else if (dom.tag(sibling) == "br" && nextElementSibling(sibling) == -1) {
           append = true
         }
+      }
+      Inspect.log("sibling") {
+        val sc = if (scoring.isInitialized(sibling)) f"${scoring.contentScore(sibling)}%.2f" else "-"
+        f"${Inspect.describe(dom, sibling)} score=$sc thr=$siblingScoreThreshold%.2f append=$append"
       }
       if (append) {
         // CLONE into articleContent (the reference clones via

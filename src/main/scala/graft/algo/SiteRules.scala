@@ -81,20 +81,41 @@ object SiteRules {
     byline.map(sTrim).filter(_.nonEmpty) match {
       case some @ Some(_) => some
       case None =>
-        if (!isAntirezDocument(ctx)) return byline
-        val dom = ctx.dom
-        val infos = Select.select(dom, dom.document, "span.info")
-        val info = infos.find(isArticleMetadataInfoNode(dom, _)).getOrElse(-1)
-        if (info == -1) return byline
-        for (sel <- Seq("span.username > a[href^=/user/]", "a[href^=/user/]", "span.username")) {
-          val n = Select.selectFirst(dom, info, sel)
-          if (n != -1) {
-            val t = sTrim(innerText(dom, n))
-            if (t.nonEmpty) return Some(t)
-          }
-        }
-        byline
+        val antirez = antirezMetadataByline(ctx)
+        if (antirez.nonEmpty) return antirez
+        firefoxNightlyMetadataByline(ctx).orElse(byline)
     }
+  }
+
+  private def antirezMetadataByline(ctx: Ctx): Option[String] = {
+    if (!isAntirezDocument(ctx)) return None
+    val dom = ctx.dom
+    val infos = Select.select(dom, dom.document, "span.info")
+    val info = infos.find(isArticleMetadataInfoNode(dom, _)).getOrElse(-1)
+    if (info == -1) return None
+    for (sel <- Seq("span.username > a[href^=/user/]", "a[href^=/user/]", "span.username")) {
+      val n = Select.selectFirst(dom, info, sel)
+      if (n != -1) {
+        val t = sTrim(innerText(dom, n))
+        if (t.nonEmpty) return Some(t)
+      }
+    }
+    None
+  }
+
+  /** `FirefoxNightlyBylineRule`: header author link fills an absent
+    * metadata byline.
+    */
+  private def firefoxNightlyMetadataByline(ctx: Ctx): Option[String] = {
+    val dom = ctx.dom
+    val isNightly = ctx.ogSiteName.trim.equalsIgnoreCase("firefox nightly news") || {
+      val titleEl = Select.selectFirst(dom, dom.document, "title")
+      titleEl != -1 && innerText(dom, titleEl).toLowerCase.contains("firefox nightly")
+    } || ctx.host.contains("nightly.mozilla.org")
+    if (!isNightly) return None
+    val link = Select.selectFirst(dom, dom.document, "main#content a[rel=author]")
+    if (link == -1) return None
+    Some(sTrim(innerText(dom, link))).filter(_.nonEmpty)
   }
 
   /** `AntirezExcerptRule` (`applyExcerptRules`): first paragraph-block of
@@ -141,9 +162,91 @@ object SiteRules {
     antirezDisqusFooter(articleContent, ctx)
     antirezLeadingInfo(articleContent, ctx)
     mksiteLeadingPublication(articleContent, ctx)
+    firefoxNightlyCommentForm(articleContent, ctx)
     substackDiscussionFooter(articleContent, ctx)
+    eHowAuthorProfile(articleContent, ctx)
     fabienSanglardLeadingChrome(articleContent, ctx)
-    // remaining ~30 rules: later tiers
+    // remaining rules: later tiers
+  }
+
+  /** `EHowAuthorProfileRule` (unwanted phase): drop the related-content
+    * module, strip FeaturedTombstone chrome, remove legacy headline
+    * siblings, and normalize the author-profile block to
+    * div{div{p{a-img}}, p{time}}.
+    */
+  private def eHowAuthorProfile(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "div#relatedContentUpper[data-module=rcp_top]")
+      .foreach(dom.remove)
+    for (featured <- Select.select(dom, articleContent,
+        "section#FeaturedTombstone[data-module=rcp_tombstone]"))
+      dom.childElements(featured).filter(dom.tag(_) != "h2").foreach(dom.remove)
+    eHowRemoveLegacyHeadlineSiblings(dom, articleContent)
+
+    for (profile <- Select.select(dom, articleContent, "div[data-type=AuthorProfile]")) {
+      if (dom.parent(profile) != -1) {
+        // `a#img-follow-tip, a:has(img)` — first anchor by id, else first
+        // anchor containing an image
+        val imageLink = {
+          val byId = Select.selectFirst(dom, profile, "a#img-follow-tip")
+          if (byId != -1) byId
+          else Select.select(dom, profile, "a")
+            .find(a => Select.selectFirst(dom, a, "img") != -1).getOrElse(-1)
+        }
+        val time = Select.selectFirst(dom, profile, "time[datetime], time")
+        if (imageLink != -1 && time != -1) {
+          val normalized = dom.newElement("div")
+          dom.setAttr(normalized, "data-type", "AuthorProfile")
+          val imageContainer = dom.newElement("div")
+          val imageParagraph = dom.newElement("p")
+          dom.appendChild(imageParagraph, imageLink)
+          dom.appendChild(imageContainer, imageParagraph)
+          dom.appendChild(normalized, imageContainer)
+          val timeParagraph = dom.newElement("p")
+          dom.appendChild(timeParagraph, time)
+          dom.appendChild(normalized, timeParagraph)
+          dom.replaceWith(profile, normalized)
+        }
+      }
+    }
+  }
+
+  /** `EHowRuleHelpers.removeLegacyHeadlineSiblings`: drop itemprop=headline
+    * h1/h2 siblings of an author-profile + score pair.
+    */
+  private def eHowRemoveLegacyHeadlineSiblings(dom: Dom, articleContent: Int): Unit = {
+    for (container <- Select.select(dom, articleContent, "div")) {
+      val children = dom.childElements(container)
+      val hasAuthorProfile = children.exists { c =>
+        dom.tag(c) == "div" &&
+          Option(dom.attr(c, "data-type")).getOrElse("").equalsIgnoreCase("authorprofile")
+      }
+      val hasScoreBlock = hasAuthorProfile &&
+        Select.selectFirst(dom, container, "div[data-score=true]") != -1
+      if (hasAuthorProfile && hasScoreBlock) {
+        children.filter { h =>
+          (dom.tag(h) == "h1" || dom.tag(h) == "h2") &&
+            Option(dom.attr(h, "itemprop")).getOrElse("").toLowerCase.contains("headline")
+        }.foreach(dom.remove)
+      }
+    }
+  }
+
+  /** `FirefoxNightlyCommentFormRule` (unwanted phase): strip the WordPress
+    * comment submission form but keep the comment list.
+    */
+  private def firefoxNightlyCommentForm(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (comments <- Select.select(dom, articleContent, "div#comments"))
+      Select.select(dom, comments,
+        "form, div#respond, p.comment-form-comment, p.comment-form-author, " +
+          "p.comment-form-email, p.form-allowed-tags, p.form-submit")
+        .foreach(dom.remove)
+    Select.select(dom, articleContent,
+      "form#comment-form, form[action*=wp-comments-post.php], " +
+        "input#comment_post_ID, textarea#comment").foreach(dom.remove)
+    Select.select(dom, articleContent,
+      "div#respond, h3#reply-title, p#cancel-comment-reply").foreach(dom.remove)
   }
 
   /** `FabienSanglardLeadingChromeRule`: drop banner + heading chrome up to
@@ -478,9 +581,14 @@ object SiteRules {
     dom.kind(el) == Dom.Element && dom.tag(el) == "article" &&
       Select.hasClassToken(dom.className(el), "prose")
 
-  /** CandidateProtectionSiteRule: keep article.prose as the candidate. */
+  /** CandidateProtectionSiteRule chain (`SiteRuleRegistry.swift:182-192`):
+    * CityLab article container, MacRumors main content, xeiaso
+    * article.prose.
+    */
   def shouldKeepCandidate(candidate: Int, ctx: Ctx): Boolean =
-    isXeiasoDocument(ctx) && isArticleProse(ctx.dom, candidate)
+    cityLabShouldKeepCandidate(candidate, ctx) ||
+      macRumorsShouldKeepCandidate(candidate, ctx) ||
+      (isXeiasoDocument(ctx) && isArticleProse(ctx.dom, candidate))
 
   private def xeiasoPromotedCandidate(candidate: Int, ctx: Ctx): Int = {
     if (!isXeiasoDocument(ctx)) return candidate
@@ -698,17 +806,161 @@ object SiteRules {
     Some(false)
   }
 
-  /** `XkcdComicCandidateRule` (`promotedCandidate`): promote into the
-    * #middleContainer comic frame.
+  /** `SiteRuleRegistry.promotedCandidate` (`SiteRuleRegistry.swift:163-180`)
+    * — first rule producing a promotion wins; order mirrors the registry:
+    * Xkcd, Quanta, Breitbart, FirefoxNightly, CityLab, Xeiaso,
+    * SimonWillison, DevBlogs.
     */
   def promotedCandidate(candidate: Int, ctx: Ctx): Int = {
-    val sw = simonWillisonBeatCandidate(candidate, ctx)
-    if (sw != candidate) return sw
-    val dev = devBlogsCandidate(candidate, ctx)
-    if (dev != candidate) return dev
+    val xk = xkcdPromotedCandidate(candidate, ctx)
+    if (xk != candidate) return xk
+    val qu = quantaLeadCandidate(candidate, ctx)
+    if (qu != candidate) return qu
+    val br = breitbartArticleCandidate(candidate, ctx)
+    if (br != candidate) return br
+    val ffn = firefoxNightlyContainerCandidate(candidate, ctx)
+    if (ffn != candidate) return ffn
+    val cl = cityLabArticleContainerCandidate(candidate, ctx)
+    if (cl != candidate) return cl
     val xe = xeiasoPromotedCandidate(candidate, ctx)
     if (xe != candidate) return xe
-    xkcdPromotedCandidate(candidate, ctx)
+    val sw = simonWillisonBeatCandidate(candidate, ctx)
+    if (sw != candidate) return sw
+    devBlogsCandidate(candidate, ctx)
+  }
+
+  /** `QuantaLeadCandidatePromotionRule`
+    * (`CandidateSelectionSiteRules.swift:4-28`).
+    */
+  private def quantaLeadCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    val canonical = canonicalHref(ctx)
+    val isQuanta = canonical.contains("quantamagazine.org") ||
+      ctx.ogSiteName.toLowerCase.contains("quanta")
+    if (!isQuanta) return candidate
+    val lead = Select.selectFirst(dom, dom.document, "div[data-reactid=253]")
+    if (lead == -1) return candidate
+    val leadText = innerText(dom, lead).toLowerCase
+    if (leadText.contains("a little over half a century ago, chaos started spilling out of a famous experiment"))
+      lead
+    else candidate
+  }
+
+  /** `BreitbartArticleCandidatePromotionRule`
+    * (`CandidateSelectionSiteRules.swift:30-77`).
+    */
+  private def breitbartArticleCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    if (dom.kind(candidate) != Dom.Element || dom.tag(candidate) != "div") return candidate
+    if (!dom.className(candidate).toLowerCase.contains("entry-content")) return candidate
+    val article = dom.parent(candidate)
+    if (article == -1 || dom.kind(article) != Dom.Element || dom.tag(article) != "article")
+      return candidate
+    val articleClass = dom.className(article).toLowerCase
+    if (!(articleClass.contains("the-article") || articleClass.contains("post-")))
+      return candidate
+    val isBreitbart = ctx.ogSiteName.toLowerCase.contains("breitbart") ||
+      canonicalHref(ctx).contains("breitbart.com") ||
+      ctx.sourceUrl.getOrElse("").toLowerCase.contains("breitbart.com")
+    if (!isBreitbart) return candidate
+    val hasFeaturedFigure =
+      Select.selectFirst(dom, article, "> header figure.figurearticlefeatured") != -1
+    val publishedTimeCount = Select.select(dom, article, "> header time[datetime]").length
+    if (hasFeaturedFigure && publishedTimeCount >= 2) article else candidate
+  }
+
+  /** `FirefoxNightlyContainerCandidatePromotionRule`
+    * (`CandidateSelectionSiteRules.swift:79-100`): promote to the
+    * main/div#content wrapper when it holds an article with Nightly link
+    * markers.
+    */
+  private def firefoxNightlyContainerCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    var cur = candidate
+    var depth = 0
+    while (cur != -1 && depth <= 8) {
+      if (dom.kind(cur) == Dom.Element &&
+          (dom.tag(cur) == "main" || dom.tag(cur) == "div") &&
+          dom.idAttr(cur).trim.toLowerCase == "content") {
+        val article = Select.selectFirst(dom, cur, "> div.content > article[id^=post-]")
+        if (article != -1 &&
+            Select.selectFirst(dom, article,
+              "a[href*=bugzilla.mozilla.org], a[href*=blog.nightly.mozilla.org]") != -1)
+          return cur
+      }
+      cur = dom.parent(cur)
+      depth += 1
+    }
+    candidate
+  }
+
+  /** `CityLabArticleContainerCandidateRule.promotedCandidate`
+    * (`CandidateSelectionSiteRules.swift:102-148`): promote
+    * section#article-section-1 (or its single-child div wrapper) to the
+    * itemtype=NewsArticle <article> parent.
+    */
+  private def cityLabArticleContainerCandidate(candidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    if (!isCityLabDocument(ctx)) return candidate
+    if (dom.kind(candidate) != Dom.Element) return candidate
+
+    def promoteFrom(section: Int, parentOfSection: Int): Int = {
+      if (dom.idAttr(section).trim.toLowerCase != "article-section-1") return candidate
+      if (parentOfSection == -1 || dom.kind(parentOfSection) != Dom.Element ||
+          dom.tag(parentOfSection) != "article") return candidate
+      val itemtype = Option(dom.attr(parentOfSection, "itemtype")).getOrElse("").toLowerCase
+      if (itemtype.contains("newsarticle")) parentOfSection else candidate
+    }
+
+    if (dom.tag(candidate) == "section")
+      promoteFrom(candidate, dom.parent(candidate))
+    else if (dom.tag(candidate) == "div") {
+      val kids = dom.childElements(candidate)
+      if (kids.length == 1 && dom.tag(kids(0)) == "section")
+        promoteFrom(kids(0), dom.parent(candidate))
+      else candidate
+    } else candidate
+  }
+
+  /** `CityLabArticleContainerCandidateRule.shouldKeepCandidate`
+    * (`CandidateSelectionSiteRules.swift:150-163`).
+    */
+  private def cityLabShouldKeepCandidate(candidate: Int, ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    if (!isCityLabDocument(ctx)) return false
+    if (dom.kind(candidate) != Dom.Element || dom.tag(candidate) != "article") return false
+    val itemtype = Option(dom.attr(candidate, "itemtype")).getOrElse("").toLowerCase
+    if (!itemtype.contains("newsarticle")) return false
+    Select.selectFirst(dom, candidate, "> section#article-section-1") != -1
+  }
+
+  /** `MacRumorsMainContentCandidateRule` (candidate protection): keep
+    * main#maincontent so chrome wrappers don't get promoted over it.
+    */
+  private def macRumorsShouldKeepCandidate(candidate: Int, ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    val isMacRumors = ctx.ogSiteName.trim.equalsIgnoreCase("macrumors") ||
+      canonicalHref(ctx).contains("macrumors.com") ||
+      ctx.sourceUrl.getOrElse("").toLowerCase.contains("macrumors.com")
+    if (!isMacRumors) return false
+    if (dom.kind(candidate) != Dom.Element || dom.tag(candidate) != "main") return false
+    if (dom.idAttr(candidate).trim.toLowerCase != "maincontent") return false
+    Select.selectFirst(dom, candidate, "> article [data-io-article-url]") != -1
+  }
+
+  private def isCityLabDocument(ctx: Ctx): Boolean = {
+    val dom = ctx.dom
+    if (Select.selectFirst(dom, dom.document,
+        "meta[property=og:site_name][content=CityLab]") != -1) return true
+    if (Select.selectFirst(dom, dom.document,
+        "meta[name=twitter:site][content=@CityLab]") != -1) return true
+    Select.selectFirst(dom, dom.document, "link[rel=canonical][href*=citylab.com]") != -1
+  }
+
+  private def canonicalHref(ctx: Ctx): String = {
+    val dom = ctx.dom
+    val el = Select.selectFirst(dom, dom.document, "link[rel=canonical]")
+    if (el == -1) "" else Option(dom.attr(el, "href")).getOrElse("").toLowerCase
   }
 
   /** `SimonWillisonBeatCandidatePromotionRule`: beat pages always use the
@@ -1092,16 +1344,123 @@ object SiteRules {
   def applySerializationRules(articleContent: Int, ctx: Ctx): Unit = {
     // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
     telegraphCaptionOnlyFigure(articleContent, ctx)
-    // CityLabHeadlineTimestampRule, BuzzFeedLeadImageSuperlistRule: later tier
+    cityLabHeadlineTimestamp(articleContent, ctx)
+    // BuzzFeedLeadImageSuperlistRule: later tier
     arsIntroHeaderWrapper(articleContent, ctx)
     // FirefoxNightlyHeaderPlaceholderRule, Wikipedia*: later tier
     eHowFoundHelpfulHeader(articleContent, ctx)
     // QQVoteContainerRule: later tier
     breitbartHeaderMedia(articleContent, ctx)
-    // QuantaTopReactIDRule, HukumusumeLegacyFileURLRule (generic in Urls),
+    quantaTopReactId(articleContent, ctx)
+    // HukumusumeLegacyFileURLRule (generic in Urls)
     oneA23GalleryWrapper(articleContent, ctx)
     xkcdComicImageSource(articleContent, ctx)
     xeiasoDialogues(articleContent, ctx)
+  }
+
+  /** `CityLabHeadlineTimestampRule` (serialization): rebuild the headline
+    * block as div{h2, div{p{span{time}}}} with the ISO datePublished
+    * reformatted as "H:MM AM/PM TZ"; drop author RSS-feed lists.
+    */
+  private def cityLabHeadlineTimestamp(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val datePublished = Select.selectFirst(dom, articleContent, "meta[itemprop=datePublished]")
+    if (datePublished == -1) return
+    val rawPublished = Option(dom.attr(datePublished, "content")).getOrElse("")
+    val formatted = formatCityLabTime(rawPublished)
+
+    for (wrapper <- Select.select(dom, articleContent, "p").reverse) {
+      val children = dom.childElements(wrapper)
+      if (children.length == 1 && dom.tag(children(0)) == "h2" &&
+          Option(dom.attr(children(0), "itemprop")).getOrElse("").toLowerCase.contains("headline")) {
+        val headline = children(0)
+        val container = dom.newElement("div")
+        dom.appendChild(container, headline)
+        formatted.foreach { f =>
+          val timeContainer = dom.newElement("div")
+          val p = dom.newElement("p")
+          val span = dom.newElement("span")
+          val time = dom.newElement("time")
+          dom.appendChild(time, dom.newText(f))
+          dom.appendChild(span, time)
+          dom.appendChild(p, span)
+          dom.appendChild(timeContainer, p)
+          dom.appendChild(container, timeContainer)
+        }
+        dom.replaceWith(wrapper, container)
+      }
+    }
+
+    for (list <- Select.select(dom, articleContent, "ul").reverse) {
+      val hasAuthorFeedLink = Select.select(dom, list, "a").exists { link =>
+        Option(dom.attr(link, "href")).getOrElse("").toLowerCase.contains("/feeds/author/")
+      }
+      if (hasAuthorFeedLink) dom.remove(list)
+    }
+  }
+
+  private val cityLabTimeRe =
+    java.util.regex.Pattern.compile("T(\\d{2}):(\\d{2}):\\d{2}([+-]\\d{2}:\\d{2}|Z)$")
+
+  private def formatCityLabTime(iso8601: String): Option[String] = {
+    val m = cityLabTimeRe.matcher(iso8601)
+    if (!m.find()) return None
+    val hour = m.group(1).toInt
+    val minute = m.group(2)
+    val tz = m.group(3)
+    val displayHour = if (hour % 12 == 0) 12 else hour % 12
+    val meridiem = if (hour >= 12) "PM" else "AM"
+    val tzLabel = tz match {
+      case "-04:00" | "-05:00" => "ET"
+      case "-07:00" | "-08:00" => "PT"
+      case _ => "UTC"
+    }
+    Some(s"$displayHour:$minute $meridiem $tzLabel")
+  }
+
+  /** `QuantaTopReactIDRule` (serialization): normalize the segmented
+    * wrapper — rename the lead segment to data-reactid=253, trim its
+    * leading non-paragraph children, drop navigation segments 391/406/243.
+    */
+  private def quantaTopReactId(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val page =
+      if (dom.idAttr(articleContent) == "readability-page-1") articleContent
+      else Select.selectFirst(dom, articleContent, "#readability-page-1")
+    if (page == -1) return
+
+    def reactId(n: Int): String = Option(dom.attr(n, "data-reactid")).getOrElse("")
+    val segmentDivs = dom.childElements(page)
+      .filter(c => dom.tag(c) == "div" && reactId(c).nonEmpty)
+    if (segmentDivs.length < 3) return
+    if (!segmentDivs.exists(reactId(_) == "401") || !segmentDivs.exists(reactId(_) == "417"))
+      return
+
+    val leadNeedle = "A little over half a century ago, chaos started spilling out of a famous experiment."
+    val leadSegment = segmentDivs.find(s => innerText(dom, s).contains(leadNeedle)).getOrElse(-1)
+
+    if (leadSegment != -1) {
+      dom.setAttr(leadSegment, "data-reactid", "253")
+      var continueLoop = true
+      while (continueLoop) {
+        val first = dom.childElements(leadSegment).headOption.getOrElse(-1)
+        if (first == -1) continueLoop = false
+        else {
+          val text = sTrim(innerText(dom, first))
+          if (text.contains(leadNeedle) || dom.tag(first) == "p") continueLoop = false
+          else dom.remove(first)
+        }
+      }
+    }
+
+    for (segment <- segmentDivs) {
+      val rid = reactId(segment)
+      if ((rid == "391" || rid == "406" || rid == "243") && segment != leadSegment)
+        dom.remove(segment)
+    }
+
+    if (leadSegment == -1)
+      segmentDivs.find(reactId(_) == "243").foreach(dom.setAttr(_, "data-reactid", "253"))
   }
 
   /** `ArsIntroHeaderWrapperRule`: wrap intro h2/h4 + articleBody in
@@ -1183,6 +1542,9 @@ object SiteRules {
     val times = Select.select(dom, header, "time[datetime]")
     var i = 0
     while (i < times.length) {
+      // the reference serializes this block pretty-printed, which separates
+      // consecutive <time> texts with a newline — keep that whitespace
+      dom.appendChild(leadBlock, dom.newText("\n"))
       dom.appendChild(leadBlock, dom.cloneSubtree(times(i)))
       i += 1
     }

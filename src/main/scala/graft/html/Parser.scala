@@ -550,9 +550,14 @@ private final class Parser(input: String) {
            "strike" | "big" | "tt" | "font" | "code" =>
         // formatting elements: plain insertion (no adoption agency)
       case "image" =>
-        // legacy: <image> → <img>
-        insertLeaf("img")
-        return
+        // legacy: <image> → <img> — but NOT inside <svg> foreign content,
+        // where <image> is a real SVG element (WHATWG §13.2.6.5; SwiftSoup
+        // keeps it too, which is what lets svg-only branding blocks fall to
+        // the img==0 conditional-clean branch)
+        if (!stack.exists(dom.tag(_) == "svg")) {
+          insertLeaf("img")
+          return
+        }
       case _ =>
     }
 

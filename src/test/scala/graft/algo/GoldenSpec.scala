@@ -38,8 +38,8 @@ class GoldenSpec extends AnyFunSuite {
     val fullPass = results.values.count(r => r.spansMatch && r.metaDiffs.isEmpty)
     val contentPass = results.values.count(_.spansMatch)
     info(s"realworld-pages: $fullPass/${results.size} full, $contentPass/${results.size} content")
-    assert(fullPass >= 71, s"regression: $fullPass full passes < 71")
-    assert(contentPass >= 71, s"regression: $contentPass content passes < 71")
+    assert(fullPass >= 78, s"regression: $fullPass full passes < 78")
+    assert(contentPass >= 78, s"regression: $contentPass content passes < 78")
   }
 
   test("ex-pages: tracked pass rate does not regress") {
