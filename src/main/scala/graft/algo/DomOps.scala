@@ -215,6 +215,13 @@ object DomOps {
     val total = textLength(dom, id)
     if (total == 0) return 0.0
     var linkLen = 0.0
+    // include-self: SwiftSoup select("a") evaluates the receiver too — an
+    // element that IS an anchor counts its own text (density ~1)
+    if (dom.kind(id) == graft.html.Dom.Element && dom.tag(id) == "a") {
+      val href = dom.attr(id, "href")
+      val coeff = if (href != null && Config.hashUrl.matcher(href).find()) 0.3 else 1.0
+      linkLen += textLength(dom, id) * coeff
+    }
     val links = dom.getElementsByTag(id, "a")
     var i = 0
     while (i < links.length) {

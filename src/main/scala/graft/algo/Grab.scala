@@ -19,6 +19,10 @@ final class Grab(
     keepBylineContainer: Int => Boolean = _ => false,
     /** site-rule hook: explicit sibling include/exclude decision */
     siblingDecision: (Int, Int) => Option[Boolean] = (_, _) => None,
+    /** site-rule hook: extract a node (clone) from a pre-candidate sibling
+      * and consume the sibling (`SiteRuleRegistry.siblingExtraction`)
+      */
+    siblingExtraction: (Int, Int) => Int = (_, _) => -1,
     /** site-rule hook: candidate promotion (`promotedCandidate`) */
     promoteCandidateRule: Int => Int = identity,
     /** site-rule hook: protect the candidate from wrapper promotion */
@@ -59,6 +63,7 @@ final class Grab(
       val (content, selectedCandidate, neededToCreate, articleDir) = performExtraction(body)
 
       val textLength = acceptanceTextLength(content, flags)
+      Inspect.log("attempt")(s"flags=$flags cleanedTextLength=$textLength threshold=${opts.charThreshold}")
       lastTextLength = textLength
       if (textLength >= opts.charThreshold) {
         return Right(GrabResult(content, articleByline, articleDir, articleLang, flags,
@@ -635,7 +640,19 @@ final class Grab(
     } else {
       def step(name: String, prev: Int, next: Int): Int = {
         if (next != prev) Inspect.log("promotion") {
-          s"$name: ${Inspect.describe(dom, prev, scoring)} -> ${Inspect.describe(dom, next, scoring)}"
+          val chain = {
+            var cur = dom.parent(prev)
+            val sb = new StringBuilder
+            var d = 0
+            while (cur != -1 && d < 4 && dom.kind(cur) == Dom.Element) {
+              val sc = if (scoring.isInitialized(cur)) f"${scoring.contentScore(cur)}%.2f" else "-"
+              sb.append(s" ^${dom.tag(cur)}.${dom.className(cur).take(24)}($sc,ld=${f"${scoring.linkDensity(dom, cur)}%.2f"})")
+              cur = dom.parent(cur)
+              d += 1
+            }
+            sb.toString
+          }
+          s"$name: ${Inspect.describe(dom, prev, scoring)} -> ${Inspect.describe(dom, next, scoring)} |ancestors:$chain"
         }
         next
       }
@@ -701,6 +718,8 @@ final class Grab(
         parent = dom.parent(parent)
       } else {
         val parentScore = scoring.contentScore(parent)
+        Inspect.log("parent-walk")(
+          f"${Inspect.describe(dom, parent, scoring)} parentScore=$parentScore%.3f last=$lastScore%.3f thr=$scoreThreshold%.3f")
         if (parentScore < scoreThreshold) done = true
         else if (parentScore > lastScore) {
           if (!shouldKeepCurrentCandidate(current)) current = parent
@@ -797,10 +816,31 @@ final class Grab(
 
     val topCandidateClassName = dom.className(topCandidate)
     val siblings = dom.childElements(parent)
+
+    // leading associated content (`SiblingMerger.swift:240-287`): siblings
+    // BEFORE the candidate that a site rule extracts from (featured-image
+    // wrappers) — the extracted clones are prepended into the candidate and
+    // the source siblings consumed
+    val leadingElements = new ArrayBuffer[Int]()
+    val consumed = new java.util.HashSet[Integer]()
+    var li = 0
+    while (li < siblings.length && siblings(li) != topCandidate) {
+      val extracted = siblingExtraction(siblings(li), topCandidate)
+      if (extracted != -1) {
+        Inspect.log("sibling")(s"${Inspect.describe(dom, siblings(li))} decision=extract")
+        leadingElements += extracted
+        consumed.add(siblings(li))
+      }
+      li += 1
+    }
+
     var i = 0
     while (i < siblings.length) {
       val sibling = siblings(i)
       var append = false
+      if (consumed.contains(sibling)) {
+        i += 1
+      } else {
       if (sibling == topCandidate) append = true
       else if (isProbablyVisible(dom, sibling)) {
         val ruleDecision = siblingDecision(sibling, topCandidate)
@@ -839,9 +879,17 @@ final class Grab(
         val toAppend = dom.cloneSubtree(sibling)
         if (!Config.alterToDivExceptions.contains(dom.tag(toAppend)))
           dom.tag(toAppend) = "div"
+        if (sibling == topCandidate && leadingElements.nonEmpty) {
+          var pi = leadingElements.length - 1
+          while (pi >= 0) {
+            dom.prependChild(toAppend, leadingElements(pi))
+            pi -= 1
+          }
+        }
         dom.appendChild(articleContent, toAppend)
       }
       i += 1
+      }
     }
 
     val rtl = hasRtlDirection(topCandidate)

@@ -83,6 +83,7 @@ object Readability {
     val grab = new Grab(dom, opts, title, acceptanceTextLength,
       keepBylineContainer = SiteRules.shouldKeepBylineContainer(_, siteCtx),
       siblingDecision = SiteRules.siblingInclusionDecision(_, _, siteCtx),
+      siblingExtraction = SiteRules.siblingExtraction(_, _, siteCtx),
       promoteCandidateRule = SiteRules.promotedCandidate(_, siteCtx),
       keepCandidateRule = SiteRules.shouldKeepCandidate(_, siteCtx))
     val grabResult = grab.extract() match {
@@ -92,8 +93,10 @@ object Readability {
         val fallback = SiteRules.shortContentFallbackArticle(siteCtx)
         if (fallback == -1)
           return Failed("content_too_short", s"actual=$actual threshold=$threshold")
-        val content = dom.newElement("div")
-        dom.appendChild(content, dom.cloneSubtree(fallback))
+        // the recovered node IS the article root (`Readability.swift:101-125`)
+        // — wrapping it in another div would expose it to cleanConditionally,
+        // which only the root itself is protected from
+        val content = fallback
         val lang = Option(if (dom.htmlEl != -1) dom.attr(dom.htmlEl, "lang") else null)
           .map(_.trim).filter(_.nonEmpty)
         grab.GrabResult(content, None, None, lang, Config.FlagsAll, neededToCreate = false)

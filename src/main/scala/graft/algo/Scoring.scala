@@ -57,13 +57,21 @@ final class Scoring(initialCapacity: Int) {
     val total = DomOps.textLength(dom, id)
     if (total == 0) return 0.0
     var linkLen = 0L
-    val links = dom.getElementsByTag(id, "a")
-    var i = 0
-    while (i < links.length) {
-      val a = links(i)
+    @inline def addLink(a: Int): Unit = {
       val href = dom.attr(a, "href")
       val coeff = if (href != null && href.startsWith("#")) 0.3 else 1.0
       linkLen += (DomOps.textLength(dom, a) * coeff).toInt
+    }
+    // jsoup/SwiftSoup `select("a")` includes the receiver: an element that
+    // IS an anchor counts its own text (its link density is ~1, so e.g.
+    // fully-linked embed cards scale to score 0 and never become
+    // candidates). Nested anchors can't exist post-parse, so no
+    // double-count. (`NodeScoring.swift:142-159`)
+    if (dom.tag(id) == "a") addLink(id)
+    val links = dom.getElementsByTag(id, "a")
+    var i = 0
+    while (i < links.length) {
+      addLink(links(i))
       i += 1
     }
     linkLen.toDouble / total

@@ -1084,9 +1084,35 @@ object SiteRules {
     */
   def siblingInclusionDecision(sibling: Int, topCandidate: Int, ctx: Ctx): Option[Boolean] =
     xkcdFooterSibling(sibling, topCandidate, ctx)
+      .orElse(wordPressFeaturedImageSibling(sibling, ctx))
       .orElse(seanGoedeckePostFooter(sibling, ctx))
       .orElse(ghostArticleChrome(sibling, topCandidate, ctx))
       .orElse(devBlogsPostFooter(sibling, topCandidate, ctx))
+
+  /** `WordPressFeaturedImageRule`: a bare block-editor featured-image
+    * figure scores 0 and would miss the sibling threshold — force-include
+    * it so the featured image leads the article.
+    */
+  private def wordPressFeaturedImageSibling(sibling: Int, ctx: Ctx): Option[Boolean] = {
+    val dom = ctx.dom
+    if (dom.kind(sibling) != Dom.Element || dom.tag(sibling) != "figure") return None
+    if (!dom.className(sibling).contains("wp-block-post-featured-image")) return None
+    if (!isProbablyVisible(dom, sibling)) return None
+    Some(true)
+  }
+
+  /** `WordPressFeaturedImageExtractRule` (sibling-extraction hook): a
+    * wrapper div preceding the candidate that buries the featured-image
+    * figure among metadata chrome — extract ONLY a clone of the figure,
+    * consume the wrapper.
+    */
+  def siblingExtraction(sibling: Int, topCandidate: Int, ctx: Ctx): Int = {
+    val dom = ctx.dom
+    if (dom.kind(sibling) != Dom.Element || dom.tag(sibling) != "div") return -1
+    val figure = Select.selectFirst(dom, sibling, "figure.wp-block-post-featured-image")
+    if (figure == -1 || !isProbablyVisible(dom, figure)) return -1
+    dom.cloneSubtree(figure)
+  }
 
   private val sgPreviewIntro =
     "Here's a preview of a related post that shares tags with this one."
