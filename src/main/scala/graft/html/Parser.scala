@@ -19,9 +19,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - foster parenting of mis-nested table content
   *   - character references per Entities (legacy no-semicolon included)
   *
+  *   - active formatting elements with reconstruction and the adoption
+  *     agency algorithm (misnested <b><i></b></i>, <a> across blocks)
+  *
   * Not implemented (observed divergence risk, grown fixture-by-fixture):
-  * the formatting-element adoption agency (misnested <b><i></b></i> is
-  * recovered by simple pop), template contents, frameset modes.
+  * template contents, frameset modes.
   */
 object Parser {
 
@@ -75,6 +77,22 @@ object Parser {
   private val tableAllowed = Set("tbody", "thead", "tfoot", "tr", "td", "th",
     "caption", "colgroup", "col", "script", "style", "template", "form")
 
+  /** Formatting elements subject to the adoption agency (WHATWG §13.2.6.4.8). */
+  private val formattingTags = Set("a", "b", "big", "code", "em", "font",
+    "i", "nobr", "s", "small", "strike", "strong", "tt", "u")
+
+  /** Start tags that trigger reconstruction of active formatting elements
+    * even though they are in the special category (WHATWG in-body rules).
+    */
+  private val reconstructAnyway = Set("br", "area", "embed", "img", "input",
+    "keygen", "wbr", "select", "button", "applet", "marquee", "object")
+
+  /** Elements that push a scope marker onto the active formatting list. */
+  private val formattingMarkers = Set("applet", "marquee", "object", "td", "th", "caption")
+
+  private val defaultScopeBarrier = Set("applet", "caption", "html", "table",
+    "td", "th", "marquee", "object", "template")
+
   def parse(input: String): Dom = {
     new Parser(input).run()
   }
@@ -86,6 +104,11 @@ private final class Parser(input: String) {
 
   private val dom = new Dom(math.max(256, input.length / 64))
   private val stack = new ArrayBuffer[Int](32)
+  /** Active formatting elements (WHATWG §13.2.3.3): element ids with
+    * [[Marker]] sentinels at td/th/caption/applet/marquee/object scopes.
+    */
+  private val afe = new ArrayBuffer[Int](8)
+  private val Marker = -2
   private val len = input.length
   private var pos = 0
   /** 0=initial (before html), 1=in head, 2=in body */
@@ -381,6 +404,7 @@ private final class Parser(input: String) {
       }
       ensureBody()
     }
+    if (afe.nonEmpty) reconstructFormatting()
     var str = s
     val cur = current
     // spec: ignore newline immediately after <pre>/<textarea>/<listing>
@@ -416,6 +440,199 @@ private final class Parser(input: String) {
       }
       dom.appendChild(cur, id)
     } else dom.appendChild(cur, id)
+  }
+
+  // --------------------------------------- active formatting elements
+
+  private def stackContains(el: Int): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) { if (stack(i) == el) return true; i -= 1 }
+    false
+  }
+
+  private def cloneShallow(el: Int): Int = {
+    val c = dom.newElement(dom.tag(el))
+    val a = dom.attrs(el)
+    dom.attrs(c) = if (a == null) null else java.util.Arrays.copyOf(a, a.length)
+    c
+  }
+
+  /** WHATWG "reconstruct the active formatting elements": re-open (clone)
+    * entries that were implicitly closed — e.g. `<b>x<p>y` keeps y bold.
+    */
+  private def reconstructFormatting(): Unit = {
+    if (afe.isEmpty) return
+    val lastE = afe(afe.length - 1)
+    if (lastE == Marker || stackContains(lastE)) return
+    var i = afe.length - 1
+    var stop = false
+    while (i > 0 && !stop) {
+      val e = afe(i - 1)
+      if (e == Marker || stackContains(e)) stop = true else i -= 1
+    }
+    while (i < afe.length) {
+      val clone = cloneShallow(afe(i))
+      appendNode(clone, fosterOk = true)
+      stack += clone
+      afe(i) = clone
+      i += 1
+    }
+  }
+
+  private def attrsEqual(a: Array[String], b: Array[String]): Boolean = {
+    val la = if (a == null) 0 else a.length
+    val lb = if (b == null) 0 else b.length
+    if (la != lb) return false
+    var i = 0
+    while (i < la) { if (a(i) != b(i)) return false; i += 1 }
+    true
+  }
+
+  /** Push with the Noah's Ark clause: ≤3 identical (tag+attrs) entries
+    * since the last marker; drop the earliest on overflow.
+    */
+  private def pushFormatting(el: Int): Unit = {
+    var count = 0
+    var earliest = -1
+    val t = dom.tag(el)
+    var i = afe.length - 1
+    while (i >= 0 && afe(i) != Marker) {
+      val e = afe(i)
+      if (dom.tag(e) == t && attrsEqual(dom.attrs(e), dom.attrs(el))) {
+        count += 1
+        earliest = i
+      }
+      i -= 1
+    }
+    if (count >= 3 && earliest >= 0) afe.remove(earliest)
+    afe += el
+  }
+
+  private def clearFormattingToMarker(): Unit = {
+    while (afe.nonEmpty) {
+      val e = afe.remove(afe.length - 1)
+      if (e == Marker) return
+    }
+  }
+
+  private def afeIndexOf(el: Int): Int = {
+    var i = afe.length - 1
+    while (i >= 0) { if (afe(i) == el) return i; i -= 1 }
+    -1
+  }
+
+  private def hasElementInScope(el: Int): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      if (stack(i) == el) return true
+      if (defaultScopeBarrier.contains(dom.tag(stack(i)))) return false
+      i -= 1
+    }
+    false
+  }
+
+  /** The adoption agency algorithm (WHATWG §13.2.6.4.8) for misnested
+    * formatting end tags — `<p><b>1<i>2</b>3` italicizes 3 without bold,
+    * `<a>1<p>2</a>3` reparents the link into the paragraph (jsoup/
+    * SwiftSoup parity, which the reference inherits).
+    */
+  private def adoptionAgency(subject: String): Unit = {
+    // fast path: current node matches and is not in the list
+    if (stack.nonEmpty && dom.tag(stack.last) == subject && afeIndexOf(stack.last) == -1) {
+      stack.remove(stack.length - 1)
+      return
+    }
+    var outer = 0
+    while (outer < 8) {
+      outer += 1
+      // last matching entry before a marker
+      var fi = afe.length - 1
+      var formatting = -1
+      while (fi >= 0 && afe(fi) != Marker && formatting == -1) {
+        if (dom.tag(afe(fi)) == subject) formatting = afe(fi) else fi -= 1
+      }
+      if (formatting == -1) { anyOtherEndTag(subject); return }
+      val stackIdx = stack.indexOf(formatting)
+      if (stackIdx == -1) { afe.remove(fi); return }
+      if (!hasElementInScope(formatting)) return
+      // furthest block: first special element below formatting in the stack
+      var fbIdx = -1
+      var i = stackIdx + 1
+      while (i < stack.length && fbIdx == -1) {
+        if (specialTags.contains(dom.tag(stack(i)))) fbIdx = i
+        i += 1
+      }
+      if (fbIdx == -1) {
+        while (stack.length > stackIdx) stack.remove(stack.length - 1)
+        afe.remove(fi)
+        return
+      }
+      val furthestBlock = stack(fbIdx)
+      val commonAncestor = stack(stackIdx - 1)
+      var bookmark = fi
+      var lastNode = furthestBlock
+      var nodeStackIdx = fbIdx
+      var innerCount = 0
+      var innerDone = false
+      while (!innerDone) {
+        innerCount += 1
+        nodeStackIdx -= 1
+        var node = stack(nodeStackIdx)
+        if (node == formatting) innerDone = true
+        else {
+          var nodeListIdx = afeIndexOf(node)
+          if (innerCount > 3 && nodeListIdx != -1) {
+            afe.remove(nodeListIdx)
+            if (nodeListIdx < bookmark) bookmark -= 1
+            nodeListIdx = -1
+          }
+          if (nodeListIdx == -1) {
+            stack.remove(nodeStackIdx)
+          } else {
+            val clone = cloneShallow(node)
+            afe(nodeListIdx) = clone
+            stack(nodeStackIdx) = clone
+            node = clone
+            if (lastNode == furthestBlock) bookmark = nodeListIdx + 1
+            dom.appendChild(node, lastNode)
+            lastNode = node
+          }
+        }
+      }
+      // move lastNode under the common ancestor (foster-parented if needed)
+      dom.detach(lastNode)
+      if (dom.kind(commonAncestor) == Dom.Element && tableContext.contains(dom.tag(commonAncestor))) {
+        // foster parent: before the nearest table
+        var ti = stack.length - 1
+        var placed = false
+        while (ti >= 0 && !placed) {
+          if (dom.tag(stack(ti)) == "table" && dom.parent(stack(ti)) != -1) {
+            dom.insertBefore(stack(ti), lastNode)
+            placed = true
+          }
+          ti -= 1
+        }
+        if (!placed) dom.appendChild(commonAncestor, lastNode)
+      } else {
+        dom.appendChild(commonAncestor, lastNode)
+      }
+      // re-wrap the furthest block's children in a clone of formatting
+      val fClone = cloneShallow(formatting)
+      dom.moveChildren(furthestBlock, fClone)
+      dom.appendChild(furthestBlock, fClone)
+      // list: replace formatting with the clone at the bookmark
+      val fListIdx = afeIndexOf(formatting)
+      if (fListIdx != -1) {
+        afe.remove(fListIdx)
+        if (fListIdx < bookmark) bookmark -= 1
+      }
+      afe.insert(math.min(math.max(bookmark, 0), afe.length), fClone)
+      // stack: remove formatting, insert clone just below the furthest block
+      val fStackIdx = stack.indexOf(formatting)
+      if (fStackIdx != -1) stack.remove(fStackIdx)
+      val fbStackIdx = stack.indexOf(furthestBlock)
+      stack.insert(fbStackIdx + 1, fClone)
+    }
   }
 
   // -------------------------------------------------------- scope checks
@@ -529,9 +746,19 @@ private final class Parser(input: String) {
         if (name == "optgroup" && stack.nonEmpty && dom.tag(current) == "optgroup")
           stack.remove(stack.length - 1)
       case "a" =>
-        if (hasInScope("a", buttonScopeBarrier)) {
-          generateImpliedEndTags()
-          if (hasInScope("a", buttonScopeBarrier)) popUntil("a")
+        // an open <a> since the last marker: run the adoption agency for
+        // "a", then drop it from the list and stack (WHATWG in-body <a>)
+        var ai = afe.length - 1
+        var openA = -1
+        while (ai >= 0 && afe(ai) != Marker && openA == -1) {
+          if (dom.tag(afe(ai)) == "a") openA = afe(ai) else ai -= 1
+        }
+        if (openA != -1) {
+          adoptionAgency("a")
+          val li = afeIndexOf(openA)
+          if (li != -1) afe.remove(li)
+          val si = stack.indexOf(openA)
+          if (si != -1) stack.remove(si)
         }
       case "button" =>
         if (hasInScope("button", buttonScopeBarrier)) {
@@ -548,7 +775,7 @@ private final class Parser(input: String) {
         // nothing special beyond p closing
       case "nobr" | "b" | "i" | "em" | "strong" | "u" | "small" | "s" |
            "strike" | "big" | "tt" | "font" | "code" =>
-        // formatting elements: plain insertion (no adoption agency)
+        // formatting elements: reconstructed + pushed below
       case "image" =>
         // legacy: <image> → <img> — but NOT inside <svg> foreign content,
         // where <image> is a real SVG element (WHATWG §13.2.6.5; SwiftSoup
@@ -560,6 +787,12 @@ private final class Parser(input: String) {
         }
       case _ =>
     }
+
+    // in-body reconstruction: "any other start tag" plus the explicit
+    // reconstruct set; special-category block starts (div/p/table…) do not
+    // reconstruct (WHATWG in-body insertion rules)
+    if (afe.nonEmpty && (!specialTags.contains(name) || reconstructAnyway.contains(name)))
+      reconstructFormatting()
 
     if (voidTags.contains(name)) {
       insertLeaf(name)
@@ -593,6 +826,10 @@ private final class Parser(input: String) {
 
     val el = insertElement(name)
     if (tagSelfClosing) stack.remove(stack.length - 1)
+    else {
+      if (formattingTags.contains(name)) pushFormatting(el)
+      if (formattingMarkers.contains(name)) afe += Marker
+    }
     el
   }
 
@@ -628,21 +865,21 @@ private final class Parser(input: String) {
     name match {
       case "tr" =>
         // close open cell + row
-        if (hasInScope("td", Set("table")) ) { generateImpliedEndTags(); popUntil("td") }
-        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (hasInScope("td", Set("table")) ) { generateImpliedEndTags(); popUntil("td"); clearFormattingToMarker() }
+        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th"); clearFormattingToMarker() }
         if (hasInScope("tr", Set("table"))) popUntil("tr")
         if (dom.tag(current) == "table") insertImplied("tbody")
       case "td" | "th" =>
-        if (hasInScope("td", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("td") }
-        else if (hasInScope("th", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (hasInScope("td", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("td"); clearFormattingToMarker() }
+        else if (hasInScope("th", Set("tr", "table"))) { generateImpliedEndTags(); popUntil("th"); clearFormattingToMarker() }
         if (!hasInScope("tr", Set("table")) && hasInScope("table", Set("html"))) {
           if (dom.tag(current) == "table") insertImplied("tbody")
           if (dom.tag(current) == "tbody" || dom.tag(current) == "thead" || dom.tag(current) == "tfoot")
             insertImplied("tr")
         }
       case "tbody" | "thead" | "tfoot" | "caption" | "colgroup" =>
-        if (hasInScope("td", Set("table"))) { generateImpliedEndTags(); popUntil("td") }
-        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th") }
+        if (hasInScope("td", Set("table"))) { generateImpliedEndTags(); popUntil("td"); clearFormattingToMarker() }
+        else if (hasInScope("th", Set("table"))) { generateImpliedEndTags(); popUntil("th"); clearFormattingToMarker() }
         if (hasInScope("tr", Set("table"))) popUntil("tr")
         if (hasInScope("tbody", Set("table"))) popUntil("tbody")
         else if (hasInScope("thead", Set("table"))) popUntil("thead")
@@ -763,27 +1000,37 @@ private final class Parser(input: String) {
           generateImpliedEndTags()
           while (stack.length > found) stack.remove(stack.length - 1)
         }
+      case _ if formattingTags.contains(name) =>
+        adoptionAgency(name)
       case _ if blockEndTags.contains(name) =>
         if (hasInScope(name, Set("html"))) {
           generateImpliedEndTags(name)
           popUntil(name)
+          if (formattingMarkers.contains(name)) clearFormattingToMarker()
         }
       case _ =>
-        // any other end tag: walk from top; match → pop to it; special barrier → ignore
-        var i = stack.length - 1
-        while (i >= 0) {
-          val t = dom.tag(stack(i))
-          if (t == name) {
-            generateImpliedEndTags(name)
-            // find again (implied pops may have shifted)
-            var j = stack.length - 1
-            while (j >= 0 && dom.tag(stack(j)) != name) j -= 1
-            if (j >= 0) while (stack.length > j) stack.remove(stack.length - 1)
-            return
-          }
-          if (specialTags.contains(t)) return
-          i -= 1
-        }
+        anyOtherEndTag(name)
+    }
+  }
+
+  /** WHATWG in-body "any other end tag": walk from the top; on a match,
+    * generate implied end tags and pop to it; a special element is a
+    * barrier that swallows the stray end tag.
+    */
+  private def anyOtherEndTag(name: String): Unit = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val t = dom.tag(stack(i))
+      if (t == name) {
+        generateImpliedEndTags(name)
+        // find again (implied pops may have shifted)
+        var j = stack.length - 1
+        while (j >= 0 && dom.tag(stack(j)) != name) j -= 1
+        if (j >= 0) while (stack.length > j) stack.remove(stack.length - 1)
+        return
+      }
+      if (specialTags.contains(t)) return
+      i -= 1
     }
   }
 

@@ -197,4 +197,49 @@ class ParserSpec extends AnyFunSuite {
     d.restore(snap)
     assert(d.getElementsByTag(d.bodyEl, "p").size == 1)
   }
+
+  // ------------------------------------------- adoption agency (WHATWG)
+
+  test("adoption agency: misnested <b><i></b></i> (jsoup parity)") {
+    val (d, b) = body("<p>1<b>2<i>3</b>4</i>5</p>")
+    // jsoup: <p>1<b>2<i>3</i></b><i>4</i>5</p>
+    assert(Serialize.innerHtml(d, b) == "<p>1<b>2<i>3</i></b><i>4</i>5</p>")
+  }
+
+  test("adoption agency: <a> across a block is reparented (jsoup parity)") {
+    val (d, b) = body("<a>1<p>2</a>3</p>")
+    // jsoup: <a>1</a><p><a>2</a>3</p>
+    assert(Serialize.innerHtml(d, b) == "<a>1</a><p><a>2</a>3</p>")
+  }
+
+  test("formatting reconstruction: bold spans paragraphs (jsoup parity)") {
+    val (d, b) = body("<b>1<p>2</p>3")
+    // per WHATWG <p> nests inside the open <b> (no reconstruction needed);
+    // if an implementation closes b at the block boundary instead, the
+    // reconstructed form <b>1</b><p><b>2</b></p><b>3</b> is the other
+    // conforming-parser shape — "3" must be bold either way
+    val out = Serialize.innerHtml(d, b)
+    assert(out == "<b>1<p>2</p>3</b>" || out == "<b>1</b><p><b>2</b></p><b>3</b>", out)
+  }
+
+  test("new <a> start tag closes an open <a> via the agency") {
+    val (d, b) = body("<a href=\"x\">one<a href=\"y\">two</a>")
+    val as = d.getElementsByTag(b, "a")
+    assert(as.size == 2)
+    assert(d.textContent(as(0)) == "one")
+    assert(d.textContent(as(1)) == "two")
+  }
+
+  test("noah's ark: at most three identical formatting entries reopen") {
+    val (d, b) = body("<b><b><b><b><p>x")
+    // four opened, but reconstruction inside <p> is capped at 3 clones
+    val p = d.getElementsByTag(b, "p")(0)
+    var depth = 0
+    var cur = d.firstChild(p)
+    while (cur != -1 && d.kind(cur) == Dom.Element && d.tag(cur) == "b") {
+      depth += 1
+      cur = d.firstChild(cur)
+    }
+    assert(depth <= 3, s"depth=$depth")
+  }
 }
