@@ -12,8 +12,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Swappable storage seam (see [[graft.spark.TableIO]]): parquet in the
+    * sandbox, Iceberg catalog in production.
+    */
+  var io: graft.spark.TableIO = graft.spark.TableIO.parquet
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    io.read(spark, s"$sfDir/$name.parquet")
 
   /** Register all tables as temp views so queries can use spark.sql. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -152,6 +152,43 @@ object FixtureRunner {
     * args: [corpus] [fixtureName]
     */
   def main(args: Array[String]): Unit = {
+    // mint mode (the `parse`+`commit` half of the reference CLI's
+    // fetch/parse/inspect/review/commit workflow, `CLI/Sources/main.swift`):
+    // `FixtureRunner mint <source.html> <baseUrl> <outDir>` runs the full
+    // extraction and stages expected.html + expected-metadata.json so a
+    // new case can be reviewed and promoted into a fixture corpus.
+    if (args.headOption.contains("mint")) {
+      require(args.length >= 4, "usage: FixtureRunner mint <source.html> <baseUrl> <outDir>")
+      val html = Files.readString(Paths.get(args(1)))
+      val outDir = Paths.get(args(3))
+      Files.createDirectories(outDir)
+      Readability.parse(html, args(2), mozillaOptions) match {
+        case Readability.Ok(r) =>
+          Files.writeString(outDir.resolve("source.html"), html)
+          Files.writeString(outDir.resolve("expected.html"), r.contentHtml)
+          def j(v: Option[String]): String =
+            v.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\"")
+              .getOrElse("null")
+          Files.writeString(outDir.resolve("expected-metadata.json"),
+            s"""{
+               |  "title": ${j(Option(r.title))},
+               |  "byline": ${j(r.byline)},
+               |  "dir": ${j(r.dir)},
+               |  "lang": ${j(r.lang)},
+               |  "excerpt": ${j(r.excerpt)},
+               |  "siteName": ${j(r.siteName)},
+               |  "publishedTime": ${j(r.publishedTime)},
+               |  "readerable": true
+               |}
+               |""".stripMargin)
+          println(s"minted ${outDir.toAbsolutePath} (${r.spans.length} spans, " +
+            s"title=${r.title}, byline=${r.byline.getOrElse("-")})")
+        case Readability.Failed(status, error) =>
+          println(s"extraction failed: $status $error")
+      }
+      return
+    }
     // inspect mode: `FixtureRunner inspect <corpus> <fixture>` dumps the
     // per-phase extraction trace (candidates, promotions, sibling merge)
     if (args.headOption.contains("inspect")) {

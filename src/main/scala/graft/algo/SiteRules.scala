@@ -161,12 +161,432 @@ object SiteRules {
   def applyUnwantedElementRules(articleContent: Int, ctx: Ctx): Unit = {
     antirezDisqusFooter(articleContent, ctx)
     antirezLeadingInfo(articleContent, ctx)
+    washingtonPostGalleryEmbed(articleContent, ctx)
+    yahooSlideshowModal(articleContent, ctx)
+    yahooBreakingNewsModule(articleContent, ctx)
+    bbcVideoPlaceholder(articleContent, ctx)
+    aktualneTwitterEmbed(articleContent, ctx)
+    aktualneInlinePhoto(articleContent, ctx)
+    qqSharePanel(articleContent, ctx)
+    heraldSunReadMoreLink(articleContent, ctx)
+    liberationRelatedAside(articleContent, ctx)
+    liberationAuthorsContainer(articleContent, ctx)
+    nyTimesLivePanels(articleContent, ctx)
+    seattleTimesSectionRail(articleContent, ctx)
+    nyTimesContinueReadingWrapper(articleContent, ctx)
+    washingtonPostViewGraphicPromo(articleContent, ctx)
+    cnnLegacyStoryTop(articleContent, ctx)
+    medicalNewsTodayRelatedInline(articleContent, ctx)
+    cnetPlaylistOverlay(articleContent, ctx)
+    cityLabPromoSignup(articleContent, ctx)
+    macRumorsArticleChrome(articleContent, ctx)
+    berthubNavigationChrome(articleContent, ctx)
+    engadgetSlideshowIcon(articleContent, ctx)
+    wikipediaLeadMetaNoise(articleContent, ctx)
     mksiteLeadingPublication(articleContent, ctx)
     firefoxNightlyCommentForm(articleContent, ctx)
     substackDiscussionFooter(articleContent, ctx)
+    mozillaCustomizeSyncSection(articleContent, ctx)
     eHowAuthorProfile(articleContent, ctx)
     fabienSanglardLeadingChrome(articleContent, ctx)
-    // remaining rules: later tiers
+    simplyFoundMediaContainer(articleContent, ctx)
+    folhaGalleryWidget(articleContent, ctx)
+    pixnetArticleKeyword(articleContent, ctx)
+    webMdReviewedBy(articleContent, ctx)
+  }
+
+  /** `WashingtonPostGalleryEmbedRule`: Scald gallery widgets and embed
+    * containers are interactive chrome.
+    */
+  private def washingtonPostGalleryEmbed(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (gallery <- Select.select(dom, articleContent, "[data-scald-gallery]")) {
+      val parent = dom.parent(gallery)
+      if (parent != -1 && dom.kind(parent) == Dom.Element && dom.tag(parent) == "div")
+        dom.remove(parent)
+      else dom.remove(gallery)
+    }
+    Select.select(dom, articleContent, "div[id^=gallery-embed_]").foreach(dom.remove)
+  }
+
+  /** `YahooSlideshowModalRule`. */
+  private def yahooSlideshowModal(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "div[id^=modal-slideshow-]").foreach(ctx.dom.remove)
+
+  /** `YahooBreakingNewsModuleRule`: breaking-news module, topics list, and
+    * the provider-only credit block without schema meta.
+    */
+  private def yahooBreakingNewsModule(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "section#mediacontentbreakingnews > div.bd")
+      .foreach(dom.remove)
+    Select.select(dom, articleContent, "ul#topics").foreach(dom.remove)
+    for (node <- Select.select(dom, articleContent, "div")) {
+      if (dom.parent(node) != -1) {
+        val children = dom.childElements(node)
+        if (children.length == 1 && dom.tag(children(0)) == "p") {
+          val hasProviderLink = Select.selectFirst(dom, node,
+            "a[data-ylk*=ltxt:GoodMorningAmeri], a[href*=abcnews.go.com/GMA/]") != -1
+          val hasSchemaMeta = Select.selectFirst(dom, node, "meta[itemprop]") != -1
+          if (hasProviderLink && !hasSchemaMeta) dom.remove(node)
+        }
+      }
+    }
+  }
+
+  /** `BBCVideoPlaceholderRule`. */
+  private def bbcVideoPlaceholder(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent,
+      "div.media-placeholder[data-media-type=video], div[data-media-type=video][class*=media-placeholder]")
+      .foreach(ctx.dom.remove)
+
+  /** `AktualneTwitterEmbedRule`. */
+  private def aktualneTwitterEmbed(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "div[id^=twttr_], div.codefragment--twitter")
+      .foreach(ctx.dom.remove)
+
+  /** `AktualneInlinePhotoRule`. */
+  private def aktualneInlinePhoto(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "div.article__photo").foreach(ctx.dom.remove)
+
+  /** `QQSharePanelRule`: share button, player chrome unwrap/removal, and
+    * non-vote children of the correlation module.
+    */
+  private def qqSharePanel(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "div#shareBtn").foreach(dom.remove)
+    for (sel <- Seq("#rv-player div.mbArticleSharePic", "#rv-player div.rv-player-adjust-img");
+         wrapper <- Select.select(dom, articleContent, sel))
+      if (dom.parent(wrapper) != -1) dom.unwrap(wrapper)
+    Select.select(dom, articleContent,
+      "#rv-player .rv-top, #rv-player .rv-player-wrap, #rv-player .rv-playlist")
+      .foreach(dom.remove)
+    // `.correlation-Article-QQ > :not(#vote)`
+    for (mod <- Select.select(dom, articleContent, ".correlation-Article-QQ");
+         child <- dom.childElements(mod))
+      if (dom.idAttr(child).trim != "vote") dom.remove(child)
+  }
+
+  /** `HeraldSunReadMoreLinkRule`. */
+  private def heraldSunReadMoreLink(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "div#read-more-link").foreach(ctx.dom.remove)
+
+  /** `LiberationRelatedAsideRule`. */
+  private def liberationRelatedAside(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "aside#related-content").foreach(ctx.dom.remove)
+
+  /** `LiberationAuthorsContainerRule`. */
+  private def liberationAuthorsContainer(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "#article-body > div.authors-container")
+      .foreach(ctx.dom.remove)
+
+  /** `NYTimesLivePanelsRule`: live-update panels (aria-live ol with ≥3
+    * items).
+    */
+  private def nyTimesLivePanels(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (panel <- Select.select(dom, articleContent, "div")) {
+      if (dom.parent(panel) != -1 &&
+          Select.selectFirst(dom, panel, "> ol[aria-live=off]") != -1 &&
+          Select.select(dom, panel, "> ol > li").length >= 3)
+        dom.remove(panel)
+    }
+  }
+
+  /** `SeattleTimesSectionRailRule`: media-less link-dense section rails. */
+  private def seattleTimesSectionRail(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (panel <- Select.select(dom, articleContent, "div[data-section]").reverse) {
+      if (dom.parent(panel) != -1 &&
+          Select.selectFirst(dom, panel,
+            "img, picture, figure, video, iframe, object, embed, table") == -1) {
+        val listCount = Select.select(dom, panel, "ul, ol").length
+        val linkCount = Select.select(dom, panel, "a").length
+        val textLen = Config.charLen(sTrim(innerText(dom, panel)))
+        if (listCount >= 1 && linkCount >= 3 && textLen <= 1200 &&
+            linkDensity(dom, panel) >= 0.2)
+          dom.remove(panel)
+      }
+    }
+  }
+
+  /** `NYTimesContinueReadingWrapperRule`: midXX-wrapper rank/continue
+    * blocks.
+    */
+  private def nyTimesContinueReadingWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val midRe = java.util.regex.Pattern.compile("^mid\\d+-wrapper$")
+    for (wrapper <- Select.select(dom, articleContent, "div[id$=-wrapper]")) {
+      if (dom.parent(wrapper) != -1 &&
+          midRe.matcher(dom.idAttr(wrapper).toLowerCase).matches() &&
+          Select.selectFirst(dom, wrapper, "a[href^=#after-mid]") != -1) {
+        val tpe = Option(dom.attr(wrapper, "type")).getOrElse("").toLowerCase
+        val text = sTrim(innerText(dom, wrapper).replaceAll("\\s+", " ")).toLowerCase
+        if (tpe == "rank" || text.contains("continue reading the main story"))
+          dom.remove(wrapper)
+      }
+    }
+  }
+
+  /** `WashingtonPostViewGraphicPromoRule`. */
+  private def washingtonPostViewGraphicPromo(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (candidate <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(candidate) != -1 &&
+          Select.selectFirst(dom, candidate, "a[href*=_graphic.html]") != -1 &&
+          Select.selectFirst(dom, candidate, "img") != -1) {
+        val text = innerText(dom, candidate).replaceAll("\\s+", " ").toLowerCase
+        if (text.contains("view graphic")) dom.remove(candidate)
+      }
+    }
+  }
+
+  /** `CNNLegacyStoryTopRule`: legacy story-top video wrapper + inread ad
+    * shell.
+    */
+  private def cnnLegacyStoryTop(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "div#js-ie-storytop, div.ie--storytop, div#ie_column")
+      .foreach(dom.remove)
+    for (candidate <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(candidate) != -1 &&
+          sTrim(innerText(dom, candidate).replaceAll("\\s+", " ")).toLowerCase ==
+            "advertising inread invented by teads")
+        dom.remove(candidate)
+    }
+  }
+
+  /** `MedicalNewsTodayRelatedInlineRule`. */
+  private def medicalNewsTodayRelatedInline(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent,
+      "div.related_inline, h2.suggested_reading, h2.internal_related, " +
+        "div.suggested_reading_container, div.suggested_reading_inner")
+      .foreach(ctx.dom.remove)
+
+  /** `CNETPlaylistOverlayRule`: playlist overlays, taboola modules, and
+    * short-link promo paragraph blocks on CNET pages.
+    */
+  private def cnetPlaylistOverlay(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val subtreeSignals = Select.selectFirst(dom, articleContent,
+      "div.playlist.overlay, div[data-load-playlist], [id*=taboola], [class*=taboola], " +
+        "div[data-container-asset-id][data-page-options]") != -1
+    val isCnet = subtreeSignals ||
+      ctx.ogSiteName.equalsIgnoreCase("cnet") ||
+      canonicalHref(ctx).contains("cnet.com") ||
+      ctx.sourceUrl.getOrElse("").toLowerCase.contains("cnet.com")
+    if (!isCnet) return
+    Select.select(dom, articleContent, "div.playlist.overlay").foreach(dom.remove)
+    Select.select(dom, articleContent,
+      "div[data-load-playlist] .playlist, div[data-load-playlist] .playlist-more, " +
+        "div[data-load-playlist] ul").foreach(dom.remove)
+    Select.select(dom, articleContent,
+      "div[data-item-id][data-item-syndicated], [id*=taboola], [class*=taboola]")
+      .foreach(dom.remove)
+    for (item <- Select.select(dom, articleContent, "li.playlist").reverse)
+      if (dom.parent(item) != -1 && sTrim(innerText(dom, item)).equalsIgnoreCase("playlist"))
+        dom.remove(item)
+    for (block <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(block) != -1) {
+        val paragraphs = Select.select(dom, block, "> p")
+        if (paragraphs.length >= 2 && paragraphs.forall { p =>
+          val text = sTrim(innerText(dom, p))
+          text.nonEmpty && Config.charLen(text) <= 160 &&
+            Select.selectFirst(dom, p, "a") != -1
+        }) dom.remove(block)
+      }
+    }
+  }
+
+  /** `CityLabPromoSignupRule`: email promo signup forms. */
+  private def cityLabPromoSignup(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val isCityLab =
+      Select.selectFirst(dom, articleContent, "meta[itemprop=name][content=CityLab]") != -1 ||
+        Select.selectFirst(dom, articleContent,
+          "meta[itemprop=mainEntityOfPage][content*=citylab.com]") != -1
+    if (!isCityLab) return
+    Select.select(dom, articleContent, "form#promo-email, form[name=promo-email]")
+      .reverse.foreach(dom.remove)
+  }
+
+  /** `MacRumorsArticleChromeRule`: site header, tip box, and newsletter
+    * subscribe form.
+    */
+  private def macRumorsArticleChrome(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def normText(el: Int): String =
+      sTrim(innerText(dom, el).replaceAll("\\s+", " ")).toLowerCase
+    val isMacRumors =
+      Select.selectFirst(dom, articleContent, "form#mc-embedded-subscribe-form") != -1 ||
+        Select.selectFirst(dom, articleContent, "a#logo[aria-label=MacRumors Home Page]") != -1 ||
+        Select.selectFirst(dom, articleContent,
+          "a[aria-label=Let us know - submit a tip]") != -1 ||
+        ctx.ogSiteName.trim.equalsIgnoreCase("macrumors") ||
+        canonicalHref(ctx).contains("macrumors.com") ||
+        ctx.sourceUrl.getOrElse("").toLowerCase.contains("macrumors.com")
+    if (!isMacRumors) return
+    for (header <- Select.select(dom, articleContent, "header").reverse) {
+      if (dom.parent(header) != -1 &&
+          (Select.selectFirst(dom, header, "a#logo[aria-label=MacRumors Home Page]") != -1 ||
+            Select.selectFirst(dom, header, "a[aria-label=Let us know - submit a tip]") != -1))
+        dom.remove(header)
+    }
+    for (container <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(container) != -1 &&
+          Select.selectFirst(dom, container, "a[aria-label=Let us know - submit a tip]") != -1) {
+        val text = normText(container)
+        if (text.contains("got a tip for us?") || text.contains("let us know"))
+          dom.remove(container)
+      }
+    }
+    for (form <- Select.select(dom, articleContent, "form#mc-embedded-subscribe-form").reverse) {
+      if (dom.parent(form) != -1) {
+        val parent = dom.parent(form)
+        val parentText = normText(parent)
+        if (parentText.contains("get weekly top macrumors stories in your inbox") ||
+            parentText.contains("leave this field empty"))
+          dom.remove(parent)
+        else dom.remove(form)
+      }
+    }
+  }
+
+  /** `EngadgetSlideshowIconRule`: slideshow thumbnails, count badges,
+    * slideshow icons, and single-price promo unwraps.
+    */
+  private def engadgetSlideshowIcon(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "[data-engadget-slideshow-id] ul")
+      .reverse.foreach(dom.remove)
+    val countRe = java.util.regex.Pattern.compile("^[0-9]{1,3}$")
+    for (badge <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(badge) != -1) {
+        val uses = Select.select(dom, badge, "svg use")
+        val hasSlideshow = uses.exists(u =>
+          Option(dom.attr(u, "xlink:href")).getOrElse("").equalsIgnoreCase("#icon-slideshow"))
+        if (hasSlideshow &&
+            countRe.matcher(sTrim(innerText(dom, badge).replaceAll("\\s+", " "))).matches())
+          dom.remove(badge)
+      }
+    }
+    for (use <- Select.select(dom, articleContent, "svg use").reverse) {
+      if (Option(dom.attr(use, "xlink:href")).getOrElse("").equalsIgnoreCase("#icon-slideshow")) {
+        val svg = dom.parent(use)
+        if (svg != -1) dom.remove(svg)
+      }
+    }
+    for (div <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(div) != -1) {
+        val children = dom.childElements(div)
+        if (children.length == 1 && dom.tag(children(0)) == "p") {
+          val text = innerText(dom, children(0)).toLowerCase
+          if (text.contains("from") && text.contains("$"))
+            dom.replaceWith(div, children(0))
+        }
+      }
+    }
+  }
+
+  /** `WikipediaLeadMetaNoiseRule`. */
+  private def wikipediaLeadMetaNoise(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, ".mw-parser-output > div.shortdescription")
+      .foreach(dom.remove)
+    Select.select(dom, articleContent, ".mw-parser-output > div.hatnote[role=note]")
+      .foreach(dom.remove)
+  }
+
+  /** `MozillaCustomizeSyncSectionRule`. */
+  private def mozillaCustomizeSyncSection(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val mainContent = Select.selectFirst(dom, articleContent, "#main-content")
+    if (mainContent == -1) return
+    if (Select.select(dom, mainContent, "#intro, #customizers-wrapper").length < 2) return
+    for (section <- Select.select(dom, mainContent, "#sync.ga-section")) {
+      val label = Option(dom.attr(section, "data-ga-label")).getOrElse("").toLowerCase
+      if (label.contains("sync") || Select.selectFirst(dom, section, "#sync-button") != -1)
+        dom.remove(section)
+    }
+  }
+
+  /** `SimplyFoundMediaContainerRule`. */
+  private def simplyFoundMediaContainer(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    if (Select.selectFirst(dom, articleContent, "div[id^=snippet-][id$=-image-carousel]") == -1)
+      return
+    Select.select(dom, articleContent, "div.media-container").reverse
+      .filter(dom.parent(_) != -1).foreach(dom.remove)
+  }
+
+  /** `FolhaGalleryWidgetRule`: remove the smallest wrapper holding the
+    * gallery teaser module.
+    */
+  private def folhaGalleryWidget(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (teaser <- Select.select(dom, articleContent, "figure.gallery-widget-pre")) {
+      if (dom.parent(teaser) != -1) {
+        var moduleRoot = dom.parent(teaser)
+        while (moduleRoot != -1 &&
+            !(dom.kind(moduleRoot) == Dom.Element &&
+              Select.hasClassToken(dom.className(moduleRoot), "js-gallery-widget")))
+          moduleRoot = dom.parent(moduleRoot)
+        if (moduleRoot != -1) {
+          val wrapper = dom.parent(moduleRoot)
+          if (wrapper != -1 && dom.kind(wrapper) == Dom.Element && dom.tag(wrapper) == "div")
+            dom.remove(wrapper)
+          else dom.remove(moduleRoot)
+        } else dom.remove(teaser)
+      }
+    }
+  }
+
+  /** `PixnetArticleKeywordRule`. */
+  private def pixnetArticleKeyword(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "div.article-keyword").foreach(ctx.dom.remove)
+
+  /** `WebMDReviewedByRule`: author/reviewer credit modules and slideshow
+    * link rails.
+    */
+  private def webMdReviewedBy(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent, "div.author_fmt, [class*=author_fmt]")
+      .foreach(dom.remove)
+    Select.select(dom, articleContent, "div.reviewedBy_fmt, [class*=reviewedBy_fmt]")
+      .foreach(dom.remove)
+    Select.select(dom, articleContent, "div.slideshow_links_rdr, div.contextual_links_fmt")
+      .foreach(dom.remove)
+    for (container <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(container) != -1 &&
+          Select.selectFirst(dom, container,
+            "img, picture, figure, video, iframe, table, blockquote") == -1) {
+        val text = sTrim(innerText(dom, container).replaceAll("\\s+", " "))
+        if (text.toLowerCase.startsWith("reviewed by ") &&
+            Select.selectFirst(dom, container, "a[href*=webmd.com]") != -1 &&
+            Config.charLen(text) <= 240)
+          dom.remove(container)
+      }
+    }
+  }
+
+  /** `BerthubNavigationChromeRule`: empty out (keep the shells of) the
+    * main-menu and prev/next navigation blocks.
+    */
+  private def berthubNavigationChrome(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def removeAllChildren(el: Int): Unit = {
+      var c = dom.firstChild(el)
+      while (c != -1) { val n = dom.nextSib(c); dom.remove(c); c = n }
+    }
+    for (nav <- Select.select(dom, articleContent, "nav#main-menu[aria-label=Main Menu]"))
+      if (Select.selectFirst(dom, nav, "a.screen-reader-text[href=#content]") != -1)
+        removeAllChildren(nav)
+    for (nav <- Select.select(dom, articleContent, "nav.entry-nav")) {
+      val text = sTrim(innerText(dom, nav).replaceAll("\\s+", " ")).toLowerCase
+      if (text.contains("previous post:") || text.contains("next post:") ||
+          Select.selectFirst(dom, nav, ".prev-entry, .next-entry") != -1)
+        removeAllChildren(nav)
+    }
   }
 
   /** `EHowAuthorProfileRule` (unwanted phase): drop the related-content
@@ -1205,17 +1625,344 @@ object SiteRules {
     * .swift:278-300`) — ported tier so far; order preserved.
     */
   def applyPostProcessRules(articleContent: Int, ctx: Ctx): Unit = {
-    // NYTimes*/Engadget*/Yahoo/CityLab/Verge/Liberation/DFarq/Substack/
-    // Xeiaso rules: later tier
+    nyTimesCollectionHighlights(articleContent, ctx)
+    nyTimesSpanishCardSummary(articleContent, ctx)
+    nyTimesPhotoViewerWrapper(articleContent, ctx)
+    // EngadgetBuyLink/BreakoutType/ReviewSummaryWrapper: later tier
+    yahooStoryContainer(articleContent, ctx)
+    cityLabPromoSummarySection(articleContent, ctx)
+    theVergeZoomWrapperAccessibility(articleContent, ctx)
+    liberationArticleBodyWrapper(articleContent, ctx)
     dFarqShareAuthorTail(articleContent, ctx)
+    substackTwitterEmbed(articleContent, ctx)
+    xeiasoCleanerApply(articleContent, ctx)
     wordPressPrevNextNavigation(articleContent, ctx)
     johnDCookRelatedPosts(articleContent, ctx)
     // MercurialExampleSectionRule: later tier
     simonWillisonRecentArticles(articleContent, ctx)
     tomRennerTagList(articleContent, ctx)
-    xeiasoCleanerApply(articleContent, ctx)
     // WikipediaHermitianListPruneRule, EbbPreviousLinkRule: later tier
     xkcdComicChromeCleanup(articleContent, ctx)
+  }
+
+  /** `NYTimesCollectionHighlightsRule`: normalize the highlights container
+    * to the Mozilla shape (retag to div, unwrap the inner h2+ol wrapper,
+    * drop trailing div>ol siblings and the first card's summary panel).
+    */
+  private def nyTimesCollectionHighlights(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (section <- Select.select(dom, articleContent, "section#collection-highlights-container"))
+      dom.tag(section) = "div"
+    for (container <- Select.select(dom, articleContent, "div#collection-highlights-container")) {
+      val kids = dom.childElements(container)
+      if (kids.nonEmpty && dom.tag(kids(0)) == "div") {
+        val inner = dom.childElements(kids(0))
+        if (inner.length >= 2 && dom.tag(inner(0)) == "h2" && dom.tag(inner(1)) == "ol")
+          dom.unwrap(kids(0))
+      }
+    }
+    for (container <- Select.select(dom, articleContent, "div#collection-highlights-container")) {
+      val children = dom.childElements(container)
+      for (child <- children.drop(2) if dom.tag(child) == "div") {
+        val inner = dom.childElements(child)
+        if (inner.length == 1 && dom.tag(inner(0)) == "ol") dom.remove(child)
+      }
+      val firstItem = Select.selectFirst(dom, container, "> ol > li")
+      if (firstItem != -1) {
+        val article = Select.selectFirst(dom, firstItem, "> article")
+        if (article != -1) {
+          val ac = dom.childElements(article)
+          if (ac.length == 2 && dom.tag(ac(0)) == "figure" && dom.tag(ac(1)) == "div") {
+            val summary = ac(1)
+            if (Select.selectFirst(dom, summary, "h2") != -1 &&
+                Select.selectFirst(dom, summary, "h3") == -1 &&
+                Select.select(dom, summary, "p").length >= 2)
+              dom.remove(summary)
+          }
+        }
+      }
+    }
+  }
+
+  /** `NYTimesSpanishCardSummaryRule`: per-section card summary panels,
+    * with the fixture's keep-indices per section title.
+    */
+  private def nyTimesSpanishCardSummary(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (section <- Select.select(dom, articleContent, "section")) {
+      val h2 = Select.selectFirst(dom, section, "> header h2")
+      val title = if (h2 == -1) ""
+        else sTrim(innerText(dom, h2).replaceAll("\\s+", " ")).toLowerCase
+      if (title.nonEmpty) {
+        val keepIdx: Option[Set[Int]] =
+          if (title.contains("opinión")) Some(Set.empty)
+          else if (title.contains("especial")) Some(Set(0))
+          else if (title.contains("el brote de coronavirus")) Some(Set(1))
+          else if (title.contains("estados unidos")) Some(Set(4))
+          else None
+        keepIdx.foreach { keep =>
+          val list = Select.selectFirst(dom, section, "> ol")
+          if (list != -1) {
+            val isOpinion = title.contains("opinión")
+            val items =
+              if (isOpinion) Select.select(dom, list, "li")
+              else Select.select(dom, list, "> li")
+            for ((item, index) <- items.zipWithIndex) {
+              val shouldKeep = !isOpinion && keep.contains(index)
+              if (!shouldKeep) {
+                val article = Select.selectFirst(dom, item, "> article")
+                if (article != -1 && Select.selectFirst(dom, article, "> figure") != -1) {
+                  for (summary <- Select.select(dom, article, "> div")) {
+                    if (Select.selectFirst(dom, summary, "h2 > a") != -1 &&
+                        Select.selectFirst(dom, summary, "h3") == -1 &&
+                        Select.select(dom, summary, "p").nonEmpty)
+                      dom.remove(summary)
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** `NYTimesPhotoViewerWrapperRule`: unwrap photoviewer children. */
+  private def nyTimesPhotoViewerWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    Select.select(dom, articleContent,
+      "div[data-testid=photoviewer-wrapper] > div[data-testid=photoviewer-children]")
+      .foreach(inner => if (dom.parent(inner) != -1) dom.unwrap(inner))
+  }
+
+  /** `YahooStoryContainerRule`: retag the story section to an Article div,
+    * strip book chrome, unwrap book/body wrappers, drop provider credit.
+    */
+  private def yahooStoryContainer(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (section <- Select.select(dom, articleContent, "section#mediacontentstory")) {
+      dom.tag(section) = "div"
+      if (Option(dom.attr(section, "itemscope")).getOrElse("").isEmpty)
+        dom.setAttr(section, "itemscope", "")
+      if (Option(dom.attr(section, "itemtype")).getOrElse("").isEmpty)
+        dom.setAttr(section, "itemtype", "https://schema.org/Article")
+    }
+    for (story <- Select.select(dom, articleContent,
+        "div#mediacontentstory, div[itemtype=https://schema.org/Article]")) {
+      Select.select(dom, story, "div.book > header").foreach(dom.remove)
+      Select.select(dom, story, "div.book > div.credit-bar").foreach(dom.remove)
+      Select.select(dom, story, "div.book > div.cover-wrap").foreach(dom.remove)
+      for (wrapper <- Select.select(dom, story, "div.book > div.body, div.book"))
+        if (dom.parent(wrapper) != -1) dom.unwrap(wrapper)
+      for (child <- dom.childElements(story) if dom.tag(child) == "div") {
+        val hasProviderLink = Select.selectFirst(dom, child,
+          "a[data-ylk*=ltxt:GoodMorningAmeri], span.provider-name") != -1
+        val hasSchemaMeta = Select.selectFirst(dom, child, "meta[itemprop]") != -1
+        if (hasProviderLink && !hasSchemaMeta) dom.remove(child)
+      }
+    }
+  }
+
+  /** `CityLabPromoSummarySectionRule`: restore the newsletter promo
+    * section Mozilla keeps inside article-section-4.
+    */
+  private def cityLabPromoSummarySection(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val isCityLab =
+      Select.selectFirst(dom, articleContent, "meta[property=og:site_name][content=CityLab]") != -1 ||
+        Select.selectFirst(dom, articleContent,
+          "meta[itemprop=mainEntityOfPage][content*=citylab.com]") != -1
+    if (!isCityLab) return
+    val section = Select.selectFirst(dom, articleContent, "section#article-section-4")
+    if (section == -1) return
+    if (Select.selectFirst(dom, section, "section label[for*=promo-email]") != -1) return
+    val paragraphs = Select.select(dom, section, "> p")
+    if (paragraphs.length < 2) return
+    val injected = dom.newElement("section")
+    val heading = dom.newElement("h2")
+    dom.appendChild(heading, dom.newText("Cities are changing fast. Keep up with the "))
+    val b = dom.newElement("b")
+    dom.appendChild(b, dom.newText("CityLab Daily"))
+    dom.appendChild(heading, b)
+    dom.appendChild(heading, dom.newText(" newsletter."))
+    dom.appendChild(injected, heading)
+    val label = dom.newElement("label")
+    dom.setAttr(label, "for", "promo-email-input-email")
+    dom.appendChild(label, dom.newText("The best way to follow issues you care about."))
+    dom.appendChild(injected, label)
+    dom.insertBefore(paragraphs(1), injected)
+  }
+
+  /** `TheVergeZoomWrapperAccessibilityRule`: re-apply zoom-button ARIA
+    * attributes to figure wrappers, dedupe duplicated zoom wrappers, and
+    * collapse redundant outer wrappers.
+    */
+  private def theVergeZoomWrapperAccessibility(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (wrapper <- Select.select(dom, articleContent, "div").reverse) {
+      if (!dom.hasAttr(wrapper, "role")) {
+        val kids = dom.childElements(wrapper)
+        if (kids.length == 1 && dom.tag(kids(0)) == "figure" &&
+            Select.selectFirst(dom, kids(0), "img") != -1 &&
+            Select.selectFirst(dom, kids(0), "img[data-nimg]") != -1) {
+          dom.setAttr(wrapper, "role", "button")
+          dom.setAttr(wrapper, "aria-label", "Zoom")
+          dom.setAttr(wrapper, "tabindex", "0")
+        }
+      }
+    }
+    for (parent <- Select.select(dom, articleContent, "div").reverse) {
+      val zoomChildren = dom.childElements(parent).filter { c =>
+        dom.tag(c) == "div" &&
+          Option(dom.attr(c, "role")).getOrElse("").equalsIgnoreCase("button") &&
+          Option(dom.attr(c, "aria-label")).getOrElse("").equalsIgnoreCase("zoom")
+      }
+      if (zoomChildren.length >= 2) {
+        val seen = scala.collection.mutable.Set.empty[String]
+        for (child <- zoomChildren) {
+          val img = Select.selectFirst(dom, child, "img")
+          val sig = if (img == -1) "" else Option(dom.attr(img, "src")).getOrElse("")
+          if (sig.nonEmpty) {
+            if (seen.contains(sig)) dom.remove(child) else seen += sig
+          }
+        }
+      }
+    }
+    for (container <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(container) != -1) {
+        val kids = dom.childElements(container)
+        if (kids.length == 1 && dom.tag(kids(0)) == "div" &&
+            Option(dom.attr(kids(0), "role")).getOrElse("").equalsIgnoreCase("button") &&
+            Option(dom.attr(kids(0), "aria-label")).getOrElse("").equalsIgnoreCase("zoom")) {
+          var hasDirectText = false
+          var c = dom.firstChild(container)
+          while (c != -1 && !hasDirectText) {
+            if (dom.kind(c) == Dom.Text && sTrim(dom.text(c)).nonEmpty) hasDirectText = true
+            c = dom.nextSib(c)
+          }
+          if (!hasDirectText) dom.replaceWith(container, kids(0))
+        }
+      }
+    }
+  }
+
+  /** `LiberationArticleBodyWrapperRule`: unwrap multi-paragraph body
+    * wrapper divs.
+    */
+  private def liberationArticleBodyWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (wrapper <- Select.select(dom, articleContent,
+        "section#news-article article #article-body > div")) {
+      if (dom.parent(wrapper) != -1 && Select.select(dom, wrapper, "p").length >= 2)
+        dom.unwrap(wrapper)
+    }
+  }
+
+  /** `SubstackTwitterEmbedRule`: normalize Substack tweet-card anchors to
+    * blockquote{p(text), p(img)*, p(a(attribution))} built from the
+    * data-attrs JSON payload.
+    */
+  private def substackTwitterEmbed(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def nonEmpty(s: Option[String]): Option[String] = s.map(sTrim).filter(_.nonEmpty)
+    for (anchor <- Select.select(dom, articleContent,
+        "a[data-component-name=Twitter2ToDOM][href*=x.com/]").reverse) {
+      if (dom.parent(anchor) != -1) {
+        // payload from `> div[data-attrs]`
+        val payloadEl = Select.selectFirst(dom, anchor, "> div[data-attrs]")
+        val payload: Map[String, Any] =
+          if (payloadEl == -1) Map.empty
+          else Json.parse(Option(dom.attr(payloadEl, "data-attrs")).getOrElse("")) match {
+            case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty
+          }
+        def str(k: String): Option[String] = payload.get(k) match {
+          case Some(s: String) => Some(s)
+          case _ => None
+        }
+        val rawText = nonEmpty(str("full_text")).getOrElse {
+          val ps = Select.select(dom, anchor, "> div > p")
+          if (ps.length >= 2) sTrim(innerText(dom, ps(1))) else ""
+        }
+        // tweet text may itself contain entities/markup: parse + re-text
+        val normalizedText =
+          if (rawText.isEmpty) ""
+          else sTrim(innerText(graft.html.Parser.parse("<body>" + rawText + "</body>"),
+            graft.html.Parser.parse("<body>" + rawText + "</body>").bodyEl)
+            .replaceAll("\\s+", " "))
+        val photos: Seq[String] = payload.get("photos") match {
+          case Some(list: Seq[_]) => list.flatMap {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].get("img_url") match {
+              case Some(u: String) if sTrim(u).nonEmpty => Some(u)
+              case _ => None
+            }
+            case _ => None
+          }
+          case _ => Nil
+        }
+        val href = nonEmpty(Option(dom.attr(anchor, "href"))).orElse(nonEmpty(str("url")))
+        val displayName = nonEmpty(str("name"))
+        val username = nonEmpty(str("username"))
+        val dateText = nonEmpty(str("date")).flatMap(formatTweetDate)
+        if (normalizedText.nonEmpty || photos.nonEmpty || href.nonEmpty) {
+          val blockquote = dom.newElement("blockquote")
+          href.foreach(h => dom.setAttr(blockquote, "cite", h))
+          if (normalizedText.nonEmpty) {
+            val p = dom.newElement("p")
+            dom.appendChild(p, dom.newText(normalizedText))
+            dom.appendChild(blockquote, p)
+          }
+          for (imageUrl <- photos) {
+            val p = dom.newElement("p")
+            val img = dom.newElement("img")
+            dom.setAttr(img, "src", imageUrl)
+            dom.appendChild(p, img)
+            dom.appendChild(blockquote, p)
+          }
+          val attribution = {
+            val who = (displayName, username) match {
+              case (Some(d), Some(u)) => Some(s"$d (@$u) on X")
+              case (None, Some(u)) => Some(s"@$u on X")
+              case (Some(d), None) => Some(s"$d on X")
+              case _ => None
+            }
+            (who.toSeq ++ dateText.toSeq).mkString(", ")
+          }
+          if (attribution.nonEmpty) {
+            val p = dom.newElement("p")
+            href match {
+              case Some(h) =>
+                val link = dom.newElement("a")
+                dom.setAttr(link, "href", h)
+                dom.appendChild(link, dom.newText(attribution))
+                dom.appendChild(p, link)
+              case None =>
+                dom.appendChild(p, dom.newText(attribution))
+            }
+            dom.appendChild(blockquote, p)
+          }
+          dom.replaceWith(anchor, blockquote)
+        }
+      }
+    }
+  }
+
+  /** ISO-8601 (with or without fractional seconds) → "MMM d, yyyy" UTC. */
+  private def formatTweetDate(raw: String): Option[String] = {
+    try {
+      val instant = java.time.OffsetDateTime.parse(raw).toInstant
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("MMM d, yyyy",
+        java.util.Locale.US).withZone(java.time.ZoneOffset.UTC)
+      Some(fmt.format(instant))
+    } catch {
+      case _: Exception =>
+        try {
+          val instant = java.time.Instant.parse(raw)
+          val fmt = java.time.format.DateTimeFormatter.ofPattern("MMM d, yyyy",
+            java.util.Locale.US).withZone(java.time.ZoneOffset.UTC)
+          Some(fmt.format(instant))
+        } catch { case _: Exception => None }
+    }
   }
 
   /** `DFarqShareAuthorTailRule`: drop share block + trailing
