@@ -52,6 +52,7 @@ final class Cleaner(dom: Dom, opts: Options,
       cleanConditionally(articleContent, "form")
       cleanConditionally(articleContent, "fieldset")
     }
+    siteRuleHook("share", articleContent)
     removeShortShareElements(articleContent)
     removeAll(articleContent, "input, textarea, select, button")
     removeShortLinkHeavyDivs(articleContent)

@@ -62,6 +62,7 @@ object Readability {
       case "post-process" => SiteRules.applyPostProcessRules(node, siteCtx)
       case "pre-conversion" => SiteRules.applyPreConversionRules(node, siteCtx)
       case "unwanted-elements" => SiteRules.applyUnwantedElementRules(node, siteCtx)
+      case "share" => SiteRules.applyShareRules(node, siteCtx)
       case _ => ()
     }
     var lastClone = -1

