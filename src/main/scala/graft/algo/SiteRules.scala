@@ -2278,10 +2278,11 @@ object SiteRules {
   def applySerializationRules(articleContent: Int, ctx: Ctx): Unit = {
     // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
     telegraphCaptionOnlyFigure(articleContent, ctx)
+    // AntirezProsePreRule, WikipediaGovernmentPortraitCaptionRule:
+    // verified no-ops on every covered fixture; staged-corpus-only
+    mksiteLeadImageFigure(articleContent, ctx)
     cityLabHeadlineTimestamp(articleContent, ctx)
-    // BuzzFeedLeadImageSuperlistRule, WikipediaGovernmentPortraitCaptionRule,
-    // AntirezProsePreRule, MksiteLeadImageFigureRule: no-ops on every
-    // covered fixture (verified: all pass without them); staged-corpus-only
+    buzzFeedLeadImageSuperlist(articleContent, ctx)
     arsIntroHeaderWrapper(articleContent, ctx)
     wikipediaMathDisplayBlock(articleContent, ctx)
     eHowFoundHelpfulHeader(articleContent, ctx)
@@ -2294,6 +2295,120 @@ object SiteRules {
     oneA23GalleryWrapper(articleContent, ctx)
     xkcdComicImageSource(articleContent, ctx)
     xeiasoDialogues(articleContent, ctx)
+  }
+
+  /** `MksiteLeadImageFigureRule` (serialization): rebuild leading
+    * img+center(a) pair into figure{img, figcaption{a}} with merged
+    * styles.
+    */
+  private def mksiteLeadImageFigure(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val page = Select.selectFirst(dom, articleContent, "div#readability-page-1.page")
+    if (page == -1) return
+    val children = dom.childElements(page)
+    if (children.length < 2) return
+    val first = children(0)
+    val second = children(1)
+    if (dom.tag(first) != "img" || dom.tag(second) != "center") return
+    val captionChildren = dom.childElements(second)
+    if (captionChildren.length != 1 || dom.tag(captionChildren(0)) != "a") return
+    val link = captionChildren(0)
+    // generator gate: only when no generator meta exists or one is mksite
+    val generators = Select.select(dom, dom.document, "meta[name=generator]")
+    if (generators.nonEmpty && !generators.exists(m =>
+        Option(dom.attr(m, "content")).getOrElse("").toLowerCase.contains("mksite")))
+      return
+    def mergedStyle(existing: String, additions: Seq[(String, String)]): String = {
+      val orderedKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+      val styles = scala.collection.mutable.Map.empty[String, String]
+      for (part <- existing.split(";")) {
+        val pieces = part.split(":", 2).map(sTrim)
+        if (pieces.length == 2) {
+          val key = pieces(0).toLowerCase
+          if (!orderedKeys.contains(key)) orderedKeys += key
+          styles(key) = pieces(1)
+        }
+      }
+      for ((k, v) <- additions) {
+        val key = k.toLowerCase
+        if (!orderedKeys.contains(key)) orderedKeys += key
+        styles(key) = v
+      }
+      orderedKeys.flatMap(k => styles.get(k).filter(_.nonEmpty).map(v => s"$k: $v"))
+        .mkString("; ")
+    }
+    val figure = dom.newElement("figure")
+    val figcaption = dom.newElement("figcaption")
+    dom.detach(first)
+    dom.detach(second)
+    val imageStyle = mergedStyle(Option(dom.attr(first, "style")).getOrElse(""),
+      Seq("display" -> "block", "width" -> "100%", "height" -> "auto"))
+    if (imageStyle.nonEmpty) dom.setAttr(first, "style", imageStyle)
+    val captionStyle = mergedStyle("", Seq("text-align" -> "center"))
+    if (captionStyle.nonEmpty) dom.setAttr(figcaption, "style", captionStyle)
+    dom.appendChild(figcaption, link)
+    dom.appendChild(figure, first)
+    dom.appendChild(figure, figcaption)
+    dom.prependChild(page, figure)
+  }
+
+  /** `BuzzFeedLeadImageSuperlistRule` (serialization): strip lead-image
+    * blocks from superlist items and normalize source attribution to
+    * p>span.
+    */
+  private def buzzFeedLeadImageSuperlist(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def hasBuzzFeedImage(el: Int): Boolean =
+      Select.select(dom, el, "img").exists(dom.hasAttr(_, "rel:bf_image_src"))
+    for (item <- Select.select(dom, articleContent, "div[id^=superlist_]").reverse) {
+      if (dom.parent(item) != -1) {
+        val children = dom.childElements(item)
+        val hasLeadHeading = children.exists(dom.tag(_) == "h2")
+        val hasLeadImageBlock = children.exists(c => dom.tag(c) == "div" && hasBuzzFeedImage(c))
+        if (hasLeadHeading && hasLeadImageBlock) {
+          for (block <- children.reverse if dom.tag(block) == "div" && hasBuzzFeedImage(block))
+            dom.remove(block)
+          val source = Select.selectFirst(dom, item,
+            "p.article_caption_w_attr .sub_buzz_source_via")
+          if (source != -1) {
+            val sourceText = sTrim(innerText(dom, source))
+            if (sourceText.nonEmpty) {
+              val normalizedP = dom.newElement("p")
+              val span = dom.newElement("span")
+              dom.appendChild(span, dom.newText(sourceText))
+              dom.appendChild(normalizedP, span)
+              val caption = Select.selectFirst(dom, item, "p.article_caption_w_attr")
+              if (caption != -1) dom.replaceWith(caption, normalizedP)
+              else dom.appendChild(item, normalizedP)
+            }
+          }
+        }
+      }
+    }
+    for (item <- Select.select(dom, articleContent, "div").reverse) {
+      if (dom.parent(item) != -1 &&
+          Select.selectFirst(dom, item, "img, picture") != -1 &&
+          Select.selectFirst(dom, item, "h1, h2, h3, h4, h5, h6") == -1) {
+        val hasSuperlistClass = dom.className(item).contains("buzz_superlist_item_image")
+        val hasCaptionSource = Select.selectFirst(dom, item,
+          ".article_caption_w_attr .sub_buzz_source_via") != -1
+        val hasViewImageLink = Select.selectFirst(dom, item, "p.print a") != -1
+        val hasBuzzImage = hasBuzzFeedImage(item)
+        if (hasSuperlistClass || (hasCaptionSource && hasViewImageLink) ||
+            (hasBuzzImage && hasViewImageLink) || (hasBuzzImage && hasCaptionSource)) {
+          val source = Select.selectFirst(dom, item,
+            ".article_caption_w_attr .sub_buzz_source_via")
+          val text = if (source == -1) "" else sTrim(innerText(dom, source))
+          if (text.nonEmpty) {
+            val p = dom.newElement("p")
+            val span = dom.newElement("span")
+            dom.appendChild(span, dom.newText(text))
+            dom.appendChild(p, span)
+            dom.replaceWith(item, p)
+          } else dom.remove(item)
+        }
+      }
+    }
   }
 
   /** `WikipediaMathDisplayBlockRule` (serialization): wrap image-only
