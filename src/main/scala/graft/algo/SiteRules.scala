@@ -2278,8 +2278,9 @@ object SiteRules {
   def applySerializationRules(articleContent: Int, ctx: Ctx): Unit = {
     // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
     telegraphCaptionOnlyFigure(articleContent, ctx)
-    // AntirezProsePreRule, WikipediaGovernmentPortraitCaptionRule:
-    // verified no-ops on every covered fixture; staged-corpus-only
+    // WikipediaGovernmentPortraitCaptionRule: verified no-op on every
+    // covered fixture; staged-corpus-only (197-line caption rebuild)
+    antirezProsePre(articleContent, ctx)
     mksiteLeadImageFigure(articleContent, ctx)
     cityLabHeadlineTimestamp(articleContent, ctx)
     buzzFeedLeadImageSuperlist(articleContent, ctx)
@@ -2295,6 +2296,35 @@ object SiteRules {
     oneA23GalleryWrapper(articleContent, ctx)
     xkcdComicImageSource(articleContent, ctx)
     xeiasoDialogues(articleContent, ctx)
+  }
+
+  /** `AntirezProsePreRule` (serialization): tag a lone non-code <pre>
+    * article body as markdown prose for downstream renderers.
+    */
+  private def antirezProsePre(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val articles = {
+      val buf = ArrayBuffer.empty[Int]
+      if (dom.kind(articleContent) == Dom.Element && dom.tag(articleContent) == "article" &&
+          dom.hasAttr(articleContent, "data-comment-id") && dom.idAttr(articleContent).nonEmpty)
+        buf += articleContent
+      buf ++= Select.select(dom, articleContent, "article[data-comment-id][id]")
+        .filterNot(buf.contains)
+      buf
+    }
+    for (article <- articles) {
+      val commentId = Option(dom.attr(article, "data-comment-id")).getOrElse("").trim
+      val articleId = dom.idAttr(article).trim
+      if (commentId.nonEmpty && commentId == articleId && commentId.endsWith("-")) {
+        val topLevel = dom.childElements(article)
+        if (topLevel.length == 1 && dom.tag(topLevel(0)) == "pre") {
+          val pre = topLevel(0)
+          if (Select.selectFirst(dom, pre, "code") == -1 &&
+              sTrim(dom.textContent(pre)).nonEmpty)
+            dom.setAttr(pre, "data-readability-pre-type", "markdown")
+        }
+      }
+    }
   }
 
   /** `MksiteLeadImageFigureRule` (serialization): rebuild leading

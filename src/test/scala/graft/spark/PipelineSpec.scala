@@ -120,6 +120,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     resumed.count() // executes without driver-side blowup
   }
 
+  test("TableIO parquet seam round-trips a table") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tableio").toString
+    try {
+      val io = new ParquetTableIO(dir)
+      io.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t1")
+      val back = io.read(spark, "t1").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("poison rows yield error status, never throw") {
     implicit val s: SparkSession = spark
     import s.implicits._
