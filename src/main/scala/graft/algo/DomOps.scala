@@ -42,9 +42,11 @@ object DomOps {
     true
   }
 
-  /** jsoup-style normalized text of the subtree. */
+  /** jsoup-style normalized text of the subtree (incl. block-boundary
+    * spaces — `DOMHelpers.getInnerText` is built on `element.text()`).
+    */
   def innerText(dom: Dom, id: Int, normalizeSpaces: Boolean = true): String = {
-    val raw = dom.textContent(id)
+    val raw = dom.textContentWithBlockSpaces(id)
     if (normalizeSpaces) Dom.normalizeWhitespace(raw) else raw.trim
   }
 
@@ -77,7 +79,11 @@ object DomOps {
               }
               i += 1
             }
-          case Dom.Element => walk(c)
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
+              pendingSpace = true; lastWs = true
+            }
+            walk(c)
           case _ =>
         }
         c = dom.nextSib(c)
@@ -145,7 +151,11 @@ object DomOps {
               }
               i += 1
             }
-          case Dom.Element => walk(c)
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
+              pending += 1; lastWs = true
+            }
+            walk(c)
           case _ =>
         }
         c = dom.nextSib(c)
@@ -183,7 +193,11 @@ object DomOps {
               }
               i += 1
             }
-          case Dom.Element => walk(c)
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
+              sb.append(' '); lastWs = true
+            }
+            walk(c)
           case _ =>
         }
         c = dom.nextSib(c)

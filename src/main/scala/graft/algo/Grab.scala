@@ -124,7 +124,14 @@ final class Grab(
       val el = elementsToScore(i)
       if (dom.isAttached(el)) {
         val score = scoreElement(el)
-        if (score > 0) propagateScoreToAncestors(el, score)
+        if (score > 0) {
+          Inspect.log("scored") {
+            val t = DomOps.innerText(dom, el)
+            s"${Inspect.describe(dom, el)} score=$score len=${Config.charLen(t)} " +
+              s"parent=${Inspect.describe(dom, dom.parent(el))} text=${t.take(60)}"
+          }
+          propagateScoreToAncestors(el, score)
+        }
       }
       i += 1
     }
@@ -571,7 +578,11 @@ final class Grab(
               }
               i += 1
             }
-          case Dom.Element => walk(c)
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
+              pendingSpace = true; lastWs = true
+            }
+            walk(c)
           case _ =>
         }
         c = dom.nextSib(c)

@@ -933,11 +933,47 @@ object SiteRules {
     Seq(ctx.sourceUrl.getOrElse(""), canonical, ogUrl).exists(u => u.nonEmpty && isXeiasoUrl(u))
   }
 
+  /** `StandardDiscussionModuleRule` (PreExtraction): remove third-party
+    * comment-platform roots before scoring so comment threads can't
+    * out-score short articles when STRIP_UNLIKELYS/WEIGHT_CLASSES are off
+    * in pass 3 (`StandardDiscussionModuleRule.swift:22-70`, evidence
+    * CLI/.staging/garymarcus-3).
+    * - Substack: `div#discussion` containing `div#substack-comments`,
+    *   gated on host == substack.com or *.substack.com.
+    * - Disqus: `div#disqus_thread` (no gate); then drop the parent if it
+    *   became an empty anonymous div.
+    */
+  private def applyStandardDiscussionModuleRule(ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    val isSubstack = ctx.host == "substack.com" || ctx.host.endsWith(".substack.com")
+    if (isSubstack) {
+      val discussions = Select.select(dom, dom.document, "div#discussion")
+      var i = discussions.length - 1
+      while (i >= 0) {
+        val d = discussions(i)
+        if (Select.selectFirst(dom, d, "div#substack-comments") != -1) dom.remove(d)
+        i -= 1
+      }
+    }
+    val threads = Select.select(dom, dom.document, "div#disqus_thread")
+    var j = threads.length - 1
+    while (j >= 0) {
+      val t = threads(j)
+      val parent = dom.parent(t)
+      dom.remove(t)
+      if (parent != -1 && dom.kind(parent) == Dom.Element && dom.tag(parent) == "div" &&
+          dom.childElementCount(parent) == 0 &&
+          dom.className(parent).trim.isEmpty && dom.idAttr(parent).isEmpty)
+        dom.remove(parent)
+      j -= 1
+    }
+  }
+
   /** `XeiasoArticleRule` PreExtractionDocumentRule: remove site header,
     * article tail chrome (from the boundary <hr>), and site footer.
     */
   def applyPreExtractionRules(ctx: Ctx): Unit = {
-    // StandardDiscussionModuleRule: later tier
+    applyStandardDiscussionModuleRule(ctx)
     if (!isXeiasoDocument(ctx)) return
     val dom = ctx.dom
     // site header: body > header with exactly one nav

@@ -343,13 +343,41 @@ final class Dom(initialCapacity: Int = 256) {
     }
   }
 
+  /** Raw subtree text with jsoup block-boundary markers: a ' ' is inserted
+    * when entering a block element or `<br>` if the accumulator is
+    * non-empty and doesn't already end in whitespace — the raw
+    * pre-normalization form of SwiftSoup `Element.text()`. `textContent`
+    * (no markers) remains the `wholeText` analog.
+    */
+  def appendTextWithBlockSpaces(id: Int, sb: java.lang.StringBuilder): Unit = {
+    if (kind(id) == Text) { sb.append(text(id)); return }
+    var cur = firstChild(id)
+    while (cur != -1) {
+      kind(cur) match {
+        case Text => sb.append(text(cur))
+        case Element =>
+          if (Dom.insertsTextSpace(tag(cur)) && sb.length > 0 &&
+              !Dom.isWhitespace(sb.charAt(sb.length - 1))) sb.append(' ')
+          appendTextWithBlockSpaces(cur, sb)
+        case _ =>
+      }
+      cur = nextSib(cur)
+    }
+  }
+
+  def textContentWithBlockSpaces(id: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    appendTextWithBlockSpaces(id, sb)
+    sb.toString
+  }
+
   /** Whitespace-normalized trimmed text (jsoup Element.text() analog:
-    * runs of whitespace collapse to one space; block boundaries do NOT
-    * insert spaces — matches SwiftSoup's getText used by the reference
-    * for all length/score decisions).
+    * runs of whitespace collapse to one space; entering a block element or
+    * br inserts a space — matches SwiftSoup's getText used by the
+    * reference for all length/score decisions).
     */
   def normalizedText(id: Int): String = {
-    val raw = textContent(id)
+    val raw = textContentWithBlockSpaces(id)
     Dom.normalizeWhitespace(raw)
   }
 
@@ -482,6 +510,33 @@ object Dom {
 
   @inline def isWhitespace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** jsoup/SwiftSoup `Tag.isBlock` set: during `Element.text()`
+    * accumulation, ENTERING one of these elements (or a `<br>`) inserts a
+    * virtual space when the accumulator is non-empty and doesn't already
+    * end in whitespace. All reference text measurements (`element.text()`,
+    * `DOMHelpers.getInnerText`) run through this — minified markup
+    * (`</div><div>` with no whitespace) still separates words.
+    */
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](128)
+    Seq(
+      "html", "head", "body", "frameset", "script", "noscript", "style",
+      "meta", "link", "title", "frame", "noframes", "section", "nav",
+      "aside", "hgroup", "header", "footer", "p", "h1", "h2", "h3", "h4",
+      "h5", "h6", "ul", "ol", "pre", "div", "blockquote", "hr", "address",
+      "figure", "figcaption", "form", "fieldset", "ins", "del", "dl", "dt",
+      "dd", "li", "table", "caption", "thead", "tfoot", "tbody", "colgroup",
+      "col", "tr", "th", "td", "video", "audio", "canvas", "details",
+      "menu", "plaintext", "template", "article", "main", "svg", "math",
+      "center"
+    ).foreach(s.add)
+    s
+  }
+
+  /** True if entering this element inserts a text() block space. */
+  @inline def insertsTextSpace(tag: String): Boolean =
+    tag == "br" || blockTags.contains(tag)
 
   /** Collapse runs of ASCII whitespace to single spaces and trim.
     * (U+00A0 is NOT whitespace here — matches jsoup/SwiftSoup text().)

@@ -46,6 +46,6 @@ class GoldenSpec extends AnyFunSuite {
     val results = run("ex-pages")
     val fullPass = results.values.count(r => r.spansMatch && r.metaDiffs.isEmpty)
     info(s"ex-pages: $fullPass/${results.size} full")
-    assert(fullPass >= 43, s"regression: $fullPass full passes < 43")
+    assert(fullPass >= 44, s"regression: $fullPass full passes < 44")
   }
 }
