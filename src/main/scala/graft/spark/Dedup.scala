@@ -25,14 +25,70 @@ object Dedup {
         i => substring(norm, i, lit(k))))
   }
 
-  /** MinHash signature: for each of `nHashes` seeded hash functions, the
-    * minimum md5(seed || shingle) over the doc's shingles. Lexicographic
-    * min over hex strings — portable to any engine with md5.
+  /** Derived MinHash family: ONE md5 per shingle, then per-slot universal
+    * affine mixing over a Mersenne prime — slot h of shingle s is
+    *   v_h(s) = (A_h·x + B_h) mod (2^61−1)
+    * where x = first 15 hex chars of md5(s) as a 60-bit int and A/B are
+    * fixed splitmix64-derived 57-bit constants (datasketch-style "hash
+    * once, apply k affine permutations"). A must be WIDE: a narrow
+    * multiplier barely wraps the modulus, the slot orderings stay
+    * correlated with x's ordering, and banding over-collides. ~16× cheaper
+    * than a digest per (slot, shingle) while staying replayable in DuckDB
+    * (`('0x'||substring(md5(s),1,15))::BIGINT`, HUGEINT multiply, `% M`) —
+    * which is how d7/d8 keep hard oracles. The 57-bit bound keeps A·x
+    * ≤ 2^117 (36 digits) inside DECIMAL(38) for the Catalyst column path.
     */
-  def minhashSignature(shinglesCol: Column, nHashes: Int): Column =
-    array((0 until nHashes).map { seed =>
-      array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed#"), s))))
-    }: _*)
+  final val MixMod = 2305843009213693951L // 2^61 − 1 (prime)
+  private final val Mask57 = (1L << 57) - 1
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** Per-slot mixing constants (57-bit; A forced odd). Single source of
+    * truth for the JVM path, the Catalyst column path, AND the generated
+    * DuckDB oracle SQL.
+    */
+  def mixA(h: Int): Long = (splitmix64(2L * h + 1) & Mask57) | 1L
+  def mixB(h: Int): Long = splitmix64(2L * h + 2) & Mask57
+
+  /** (a·x + b) mod (2^61−1) with a,b < 2^57, x < 2^60 — exact via 128-bit
+    * product + Mersenne folding (2^64 ≡ 8, 2^61 ≡ 1 mod M).
+    */
+  @inline def affineMod(a: Long, x: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, x) // both ≥ 0 → unsigned-safe
+    val lo = a * x // low 64 bits
+    val loRed = (lo & MixMod) + (lo >>> 61) // ≤ M + 7
+    var v = 8L * hi + loRed + b // hi < 2^53 → total < 2^62
+    v = (v & MixMod) + (v >>> 61) // ≤ M + 1
+    if (v >= MixMod) v - MixMod else v
+  }
+
+  /** 60-bit base hash of a shingle as a Catalyst column (parity with the
+    * JVM path: first 15 hex chars of md5).
+    */
+  def shingleX(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  private def slotValue(h: Int, x: Column): Column = {
+    // exact integer arithmetic in DECIMAL(38,0): A·x ≤ 2^117 ≈ 1.7e35
+    val bd = (v: Long) => lit(new java.math.BigDecimal(v))
+    ((bd(mixA(h)) * x.cast("decimal(20,0)") + bd(mixB(h))) % bd(MixMod)).cast("long")
+  }
+
+  /** MinHash signature (array<long>): per-slot minimum of the derived
+    * family over the doc's shingles. Single `aggregate` pass so md5 runs
+    * once per shingle even in the interpreted column path.
+    */
+  def minhashSignature(shinglesCol: Column, nHashes: Int): Column = {
+    val xs = transform(shinglesCol, s => shingleX(s))
+    aggregate(
+      xs,
+      array((0 until nHashes).map(_ => lit(Long.MaxValue)): _*),
+      (acc, x) => array((0 until nHashes).map(h =>
+        least(acc.getItem(h), slotValue(h, x))): _*))
+  }
 
   /** LSH banding: group the signature into bands of `rowsPerBand`; a pair
     * of docs sharing any band bucket is a candidate pair.
@@ -42,13 +98,14 @@ object Dedup {
     array((0 until nBands).map { b =>
       md5(concat_ws("|",
         (lit(b.toString) +: (0 until rowsPerBand).map(r =>
-          signature.getItem(b * rowsPerBand + r))): _*))
+          signature.getItem(b * rowsPerBand + r).cast("string"))): _*))
     }: _*)
   }
 
-  /** JVM-side banded MinHash bucket hashes for one text (same md5-hex
-    * scheme as the column variant; interpreted Catalyst HOFs are ~50×
-    * slower here, so the signature step runs in the typed layer).
+  /** JVM-side banded MinHash bucket hashes for one text — same derived
+    * family as [[minhashSignature]]/[[bandHashes]] (asserted identical in
+    * OpsSpec), but one tight pass per row: interpreted Catalyst HOFs are
+    * ~50× slower here, so the signature step runs in the typed layer.
     */
   def bucketHashesJvm(text: String, shingleK: Int, nHashes: Int,
       rowsPerBand: Int): Array[String] = {
@@ -66,17 +123,26 @@ object Dedup {
       }
       new String(out)
     }
+    val as = Array.tabulate(nHashes)(mixA)
+    val bs = Array.tabulate(nHashes)(mixB)
     val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val n = math.max(norm.length - shingleK + 1, 1)
     val seen = new java.util.HashSet[String]()
-    val sig = Array.fill(nHashes)("￿")
+    val sig = Array.fill(nHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val sh = norm.substring(i, math.min(i + shingleK, norm.length))
       if (seen.add(sh)) {
+        md.reset()
+        val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // x = first 15 hex chars = bytes 0..6 + high nibble of byte 7
+        var x = 0L
+        var k = 0
+        while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+        x = (x << 4) | ((d(7) >> 4) & 0xfL)
         var h = 0
         while (h < nHashes) {
-          val v = md5hex(s"$h#$sh")
+          val v = affineMod(as(h), x, bs(h))
           if (v < sig(h)) sig(h) = v
           h += 1
         }
@@ -118,8 +184,12 @@ object Dedup {
       spark.sessionState.conf.numShufflePartitions)
     val projected = docs
       .select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    // plan-level partition count: toRdd is the physical plan's RDD handle
+    // (no job, no row-decode lineage — unlike DataFrame.rdd, which plans a
+    // deserialize-to-external-row stage just to be asked its count)
+    val planParts = projected.queryExecution.toRdd.getNumPartitions
     val prepared =
-      if (projected.rdd.getNumPartitions < spread) projected.repartition(spread)
+      if (planParts < spread) projected.repartition(spread)
       else projected
     val sig = prepared
       .as[(String, String)]

@@ -43,6 +43,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains(("3", "5")), s"unrelated pair matched: $pairs")
   }
 
+  test("minhash JVM bucket hashes are bit-identical to the Catalyst column formulation") {
+    val s = spark
+    import s.implicits._
+    val df = docsDf.select($"doc_id",
+      Dedup.bandHashes(Dedup.minhashSignature(Dedup.shingles($"text", 5), 16), 16, 4).as("buckets"))
+    val colVals = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val jvmVals = docsDf.collect().map(r => r.getLong(0) ->
+      Dedup.bucketHashesJvm(r.getString(1), 5, 16, 4).toSeq).toMap
+    assert(jvmVals == colVals)
+  }
+
   test("jaccard pairs agree with set semantics") {
     // column order after the equi-joins is (doc_b, doc_a, jaccard)
     val rows = Dedup.jaccardAllPairs(docsDf, threshold = 0.0).collect()
