@@ -155,7 +155,9 @@ final class Cleaner(dom: Dom, opts: Options,
     var i = 0
     while (i < spans.length) {
       val s = spans(i)
-      if ((dom.parent(s) != -1)) {
+      // raw-substring probe before building ownText — this loop visits
+      // every span of every doc (measured allocation hotspot)
+      if (dom.parent(s) != -1 && hasDirectTextContaining(s, "Stream")) {
         val own = ownText(s).trim
         if (own == "Stream Type" || own.matches("^\\s*Stream\\s+Type\\s*$")) {
           var cur = dom.parent(s)
@@ -178,7 +180,8 @@ final class Cleaner(dom: Dom, opts: Options,
       val d = divs1(i)
       if ((dom.parent(d) != -1)) {
         val labels = dom.getElementsByTag(d, "label")
-        if (labels.nonEmpty) {
+        // needs three distinct label texts — skip the string builds otherwise
+        if (labels.length >= 3) {
           val texts = labels.map(l => sTrim(innerText(dom, l)).toLowerCase)
           if (texts.contains("foreground") && texts.contains("background") && texts.contains("font size"))
             dom.remove(d)
@@ -225,7 +228,11 @@ final class Cleaner(dom: Dom, opts: Options,
     i = divs3.length - 1
     while (i >= 0) {
       val d = divs3(i)
-      if ((dom.parent(d) != -1)) {
+      // "advertising" = 11, "advertisement" = 13 — length probe before the
+      // per-div text build (every div of every doc walks through here)
+      if (dom.parent(d) != -1 && {
+            val tl = trimmedTextLength(dom, d); tl == 11 || tl == 13
+          }) {
         val text = sTrim(innerText(dom, d)).toLowerCase
         if ((text == "advertising" || text == "advertisement") &&
             Select.selectFirst(dom, d, "img, picture, video, iframe, object, embed, figure") == -1)
@@ -233,6 +240,16 @@ final class Cleaner(dom: Dom, opts: Options,
       }
       i -= 1
     }
+  }
+
+  /** Allocation-free probe: any DIRECT text child containing `needle`. */
+  private def hasDirectTextContaining(id: Int, needle: String): Boolean = {
+    var c = dom.firstChild(id)
+    while (c != -1) {
+      if (dom.kind(c) == Dom.Text && dom.text(c).contains(needle)) return true
+      c = dom.nextSib(c)
+    }
+    false
   }
 
   private def ownText(id: Int): String = {
@@ -608,14 +625,16 @@ final class Cleaner(dom: Dom, opts: Options,
     if (dataType == "footnotes" || dataType == "footnote") return
     if (shouldPreserveFootnoteSection(node)) return
 
-    val text = innerText(dom, node)
+    // fused measurements — no subtree-text materialization on this path
+    // (it runs for every conditional-clean candidate of every doc)
+    val textLen = textLength(dom, node)
     var isList = tag == "ul" || tag == "ol"
-    if (!isList && text.nonEmpty) {
+    if (!isList && textLen > 0) {
       var listLength = 0
       val lists = sel(node, "ul, ol")
       var j = 0
       while (j < lists.length) { listLength += textLength(dom, lists(j)); j += 1 }
-      isList = listLength.toDouble / Config.charLen(text) > 0.9
+      isList = listLength.toDouble / textLen > 0.9
     }
 
     if (tag == "table" && isDataTable(node)) return
@@ -634,7 +653,7 @@ final class Cleaner(dom: Dom, opts: Options,
       dom.remove(node); return
     }
 
-    if (commaCount(text) >= 10) return
+    if (commaCountSubtree(dom, node) >= 10) return
 
     val p = sel(node, "p").length
     val img = sel(node, "img").length
@@ -653,12 +672,17 @@ final class Cleaner(dom: Dom, opts: Options,
     }
     if (allowedEmbed) return
 
-    val trimmed = sTrim(text)
-    if (adWord.matcher(trimmed).find() || loadingWord.matcher(trimmed).find()) {
-      dom.remove(node); return
+    // ad/loading words are ≤ 13 code points ("advertisement",
+    // "chargement...") — length probe before materializing the text
+    val trimmedLen = trimmedTextLength(dom, node)
+    if (trimmedLen > 0 && trimmedLen <= 13) {
+      val trimmed = sTrim(innerText(dom, node))
+      if (adWord.matcher(trimmed).find() || loadingWord.matcher(trimmed).find()) {
+        dom.remove(node); return
+      }
     }
 
-    val contentLength = Config.charLen(text)
+    val contentLength = textLen
     val density = linkDensity(node)
     val tDensity = textDensity(node, Set("span", "li", "td") ++ Config.divToPElems)
     val isFigureChild = hasAncestorTag(dom, node, "figure", 0)

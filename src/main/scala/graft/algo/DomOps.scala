@@ -222,6 +222,34 @@ object DomOps {
     c
   }
 
+  /** Same code points as [[Config.commas]]. */
+  @inline private def isCommaChar(ch: Char): Boolean = (ch: Int) match {
+    case 0x002C | 0x060C | 0xFE50 | 0xFE10 | 0xFE11 |
+         0x2E41 | 0x2E34 | 0x2E32 | 0xFF0C => true
+    case _ => false
+  }
+
+  /** [[commaCount]] over the subtree's text without materializing it —
+    * comma chars are untouched by whitespace normalization, so a raw
+    * text-node scan counts exactly what `commaCount(innerText(…))` would.
+    */
+  def commaCountSubtree(dom: Dom, id: Int): Int = {
+    var count = 0
+    var cur = id
+    while (cur != -1) {
+      if (dom.kind(cur) == Dom.Text) {
+        val s = dom.text(cur)
+        var i = 0
+        while (i < s.length) {
+          if (isCommaChar(s.charAt(i))) count += 1
+          i += 1
+        }
+      }
+      cur = dom.nextInTree(cur, id)
+    }
+    count
+  }
+
   /** Link density with 0.3 coefficient for in-page hash links
     * (`NodeScoring.swift:142-159`).
     */

@@ -21,13 +21,16 @@ final class Post(dom: Dom, opts: Options, docLocation: String) {
   }
   private val baseMatchesDocument =
     effectiveBase != null && docLocation != null && effectiveBase == docLocation.trim
+  // parse the base ONCE per document — resolve() runs per link/src/srcset
+  private val effectiveBaseParts: Urls.Parts =
+    if (effectiveBase != null) Urls.parse(effectiveBase) else null
 
   def toAbsoluteUri(rawUri: String): String = {
     val uri = rawUri.trim
     if (uri.isEmpty) return rawUri
     if (uri.toLowerCase.startsWith("data:")) return uri
     if (uri.startsWith("#") && baseMatchesDocument) return uri
-    if (effectiveBase != null) return Urls.resolve(effectiveBase, uri)
+    if (effectiveBase != null) return Urls.resolve(effectiveBaseParts, uri)
     // no base: keep absolute URIs (normalized), leave relative untouched
     val p = Urls.parse(uri)
     if (p.scheme != null) {

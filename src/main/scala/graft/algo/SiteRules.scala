@@ -322,7 +322,7 @@ object SiteRules {
           midRe.matcher(dom.idAttr(wrapper).toLowerCase).matches() &&
           Select.selectFirst(dom, wrapper, "a[href^=#after-mid]") != -1) {
         val tpe = Option(dom.attr(wrapper, "type")).getOrElse("").toLowerCase
-        val text = sTrim(innerText(dom, wrapper).replaceAll("\\s+", " ")).toLowerCase
+        val text = sTrim(innerText(dom, wrapper)).toLowerCase
         if (tpe == "rank" || text.contains("continue reading the main story"))
           dom.remove(wrapper)
       }
@@ -336,7 +336,7 @@ object SiteRules {
       if (dom.parent(candidate) != -1 &&
           Select.selectFirst(dom, candidate, "a[href*=_graphic.html]") != -1 &&
           Select.selectFirst(dom, candidate, "img") != -1) {
-        val text = innerText(dom, candidate).replaceAll("\\s+", " ").toLowerCase
+        val text = innerText(dom, candidate).toLowerCase
         if (text.contains("view graphic")) dom.remove(candidate)
       }
     }
@@ -350,8 +350,11 @@ object SiteRules {
     Select.select(dom, articleContent, "div#js-ie-storytop, div.ie--storytop, div#ie_column")
       .foreach(dom.remove)
     for (candidate <- Select.select(dom, articleContent, "div").reverse) {
+      // length probe first: this compares EVERY div's subtree text on every
+      // doc, and the string build was a measured allocation hotspot
       if (dom.parent(candidate) != -1 &&
-          sTrim(innerText(dom, candidate).replaceAll("\\s+", " ")).toLowerCase ==
+          trimmedTextLength(dom, candidate) == 36 &&
+          sTrim(innerText(dom, candidate)).toLowerCase ==
             "advertising inread invented by teads")
         dom.remove(candidate)
     }
@@ -417,7 +420,7 @@ object SiteRules {
   private def macRumorsArticleChrome(articleContent: Int, ctx: Ctx): Unit = {
     val dom = ctx.dom
     def normText(el: Int): String =
-      sTrim(innerText(dom, el).replaceAll("\\s+", " ")).toLowerCase
+      sTrim(innerText(dom, el)).toLowerCase
     val isMacRumors =
       Select.selectFirst(dom, articleContent, "form#mc-embedded-subscribe-form") != -1 ||
         Select.selectFirst(dom, articleContent, "a#logo[aria-label=MacRumors Home Page]") != -1 ||
@@ -467,7 +470,7 @@ object SiteRules {
         val hasSlideshow = uses.exists(u =>
           Option(dom.attr(u, "xlink:href")).getOrElse("").equalsIgnoreCase("#icon-slideshow"))
         if (hasSlideshow &&
-            countRe.matcher(sTrim(innerText(dom, badge).replaceAll("\\s+", " "))).matches())
+            countRe.matcher(sTrim(innerText(dom, badge))).matches())
           dom.remove(badge)
       }
     }
@@ -561,7 +564,7 @@ object SiteRules {
       if (dom.parent(container) != -1 &&
           Select.selectFirst(dom, container,
             "img, picture, figure, video, iframe, table, blockquote") == -1) {
-        val text = sTrim(innerText(dom, container).replaceAll("\\s+", " "))
+        val text = sTrim(innerText(dom, container))
         if (text.toLowerCase.startsWith("reviewed by ") &&
             Select.selectFirst(dom, container, "a[href*=webmd.com]") != -1 &&
             Config.charLen(text) <= 240)
@@ -583,7 +586,7 @@ object SiteRules {
       if (Select.selectFirst(dom, nav, "a.screen-reader-text[href=#content]") != -1)
         removeAllChildren(nav)
     for (nav <- Select.select(dom, articleContent, "nav.entry-nav")) {
-      val text = sTrim(innerText(dom, nav).replaceAll("\\s+", " ")).toLowerCase
+      val text = sTrim(innerText(dom, nav)).toLowerCase
       if (text.contains("previous post:") || text.contains("next post:") ||
           Select.selectFirst(dom, nav, ".prev-entry, .next-entry") != -1)
         removeAllChildren(nav)
@@ -867,9 +870,12 @@ object SiteRules {
     var i = ps.length - 1
     while (i >= 0) {
       val p = ps(i)
+      // cheap structural + length probes first: this runs for every <p> of
+      // every doc, and normText materializes the subtree text
       if (dom.parent(p) != -1 &&
-          normText(dom, p).equalsIgnoreCase("blog comments powered by disqus") &&
-          Select.selectFirst(dom, p, "a[href*=disqus.com]") != -1)
+          DomOps.trimmedTextLength(dom, p) == 31 &&
+          Select.selectFirst(dom, p, "a[href*=disqus.com]") != -1 &&
+          normText(dom, p).equalsIgnoreCase("blog comments powered by disqus"))
         dom.remove(p)
       i -= 1
     }
@@ -1025,7 +1031,7 @@ object SiteRules {
       val nid = dom.idAttr(next).trim.toLowerCase
       if (nid == "sharebutton") return true
       if (dom.tag(next) == "p") {
-        val t = sTrim(innerText(dom, next).replaceAll("\\s+", " "))
+        val t = sTrim(innerText(dom, next))
         return t.startsWith("Facts and circumstances may have changed since publication.") ||
           t.startsWith("Tags:")
       }
@@ -1148,7 +1154,7 @@ object SiteRules {
     while (i >= 0) {
       val p = ps(i)
       if (dom.parent(p) != -1) {
-        val t = sTrim(innerText(dom, p).replaceAll("\\s+", " "))
+        val t = sTrim(innerText(dom, p))
         if (t.startsWith("Facts and circumstances may have changed since publication.") || t == "Tags:") {
           dom.remove(p)
           foundTail = true
@@ -1181,7 +1187,7 @@ object SiteRules {
           characterLinks(card).length == 1 && stickers(card).length == 1) {
         val blockquote = dom.newElement("blockquote")
         val speaker = characterLinks(card).head
-        val speakerText = sTrim(innerText(dom, speaker).replaceAll("\\s+", " "))
+        val speakerText = sTrim(innerText(dom, speaker))
         val sp = dom.newElement("p")
         val strong = dom.newElement("strong")
         dom.appendChild(strong, dom.newText(innerText(dom, speaker)))
@@ -1191,7 +1197,7 @@ object SiteRules {
         var j = 0
         while (j < cardPs.length) {
           val p = cardPs(j)
-          val t = sTrim(innerText(dom, p).replaceAll("\\s+", " "))
+          val t = sTrim(innerText(dom, p))
           if (stickers(p).isEmpty && t.nonEmpty && t != speakerText)
             dom.appendChild(blockquote, dom.cloneSubtree(p))
           j += 1
@@ -1816,6 +1822,9 @@ object SiteRules {
   /** `WikipediaHermitianListPruneRule`. */
   private def wikipediaHermitianListPrune(articleContent: Int, ctx: Ctx): Unit = {
     val dom = ctx.dom
+    // raw single-word probe before materializing the WHOLE article text
+    // (this rule runs on every doc; the full build was a measured hotspot)
+    if (!rawTextNodeContains(dom, articleContent, "ermitian")) return
     val wholeText = innerText(dom, articleContent).toLowerCase
     if (!(wholeText.contains("hermitian matrix") &&
         wholeText.contains("the hermitian complex") &&
@@ -1889,7 +1898,7 @@ object SiteRules {
     for (section <- Select.select(dom, articleContent, "section")) {
       val h2 = Select.selectFirst(dom, section, "> header h2")
       val title = if (h2 == -1) ""
-        else sTrim(innerText(dom, h2).replaceAll("\\s+", " ")).toLowerCase
+        else sTrim(innerText(dom, h2)).toLowerCase
       if (title.nonEmpty) {
         val keepIdx: Option[Set[Int]] =
           if (title.contains("opinión")) Some(Set.empty)
@@ -2208,8 +2217,21 @@ object SiteRules {
     }
   }
 
+  /** Allocation-free probe: any text node in the subtree containing the
+    * (single-word, case-exact) needle — used to gate rules that would
+    * otherwise materialize large subtree text on every document.
+    */
+  private def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
+    var cur = root
+    while (cur != -1) {
+      if (dom.kind(cur) == Dom.Text && dom.text(cur).contains(needle)) return true
+      cur = dom.nextInTree(cur, root)
+    }
+    false
+  }
+
   private def normText(dom: Dom, id: Int): String =
-    sTrim(innerText(dom, id).replaceAll("\\s+", " ")).toLowerCase
+    sTrim(innerText(dom, id)).toLowerCase
 
   /** `SimonWillisonRecentArticlesRule`. */
   private def simonWillisonRecentArticles(articleContent: Int, ctx: Ctx): Unit = {
@@ -2683,7 +2705,7 @@ object SiteRules {
     i = 0
     while (i < figcaps.length) {
       val fc = figcaps(i)
-      val t = sTrim(innerText(dom, fc).replaceAll("\\s+", " "))
+      val t = sTrim(innerText(dom, fc))
       if (Config.charLen(t) <= 24 && t.equalsIgnoreCase("kevin")) {
         var c = dom.firstChild(fc)
         while (c != -1) { val n = dom.nextSib(c); dom.remove(c); c = n }
@@ -2801,7 +2823,7 @@ object SiteRules {
       val children = dom.childElements(header)
       if (children.size == 1 && dom.tag(children(0)) == "p") {
         val only = children(0)
-        val t = sTrim(innerText(dom, only).replaceAll("\\s+", " ")).toLowerCase
+        val t = sTrim(innerText(dom, only)).toLowerCase
         if (t.contains("found this helpful")) {
           val wrapper = dom.newElement("div")
           dom.appendChild(wrapper, only)

@@ -83,8 +83,13 @@ object Urls {
   }
 
   /** RFC 3986 §5.2.2 transform references. Returns the resolved string. */
-  def resolve(baseStr: String, refStr: String): String = {
-    val base = parse(baseStr)
+  def resolve(baseStr: String, refStr: String): String =
+    resolve(parse(baseStr), refStr)
+
+  /** Pre-parsed-base variant: callers resolving many refs against one
+    * document base (fixRelativeUris) parse the base once.
+    */
+  def resolve(base: Parts, refStr: String): String = {
     val ref = parse(refStr)
     var t: Parts = null
     if (ref.scheme != null) {

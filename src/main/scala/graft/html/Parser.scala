@@ -98,6 +98,68 @@ object Parser {
   }
 }
 
+/** Allocation-free intern table for tag names: the tokenizer reads a tag
+  * name as a (from, until) window over the source and looks up the
+  * canonical lowercase string here — no substring/toLowerCase per tag.
+  * Unknown (custom-element) names fall back to allocation.
+  */
+private object TagNames {
+  private val known = Array(
+    "a", "abbr", "address", "area", "article", "aside", "audio", "b",
+    "base", "bdi", "bdo", "blockquote", "body", "br", "button", "canvas",
+    "caption", "center", "cite", "code", "col", "colgroup", "data",
+    "datalist", "dd", "del", "details", "dfn", "dialog", "dir", "div",
+    "dl", "dt", "em", "embed", "fieldset", "figcaption", "figure", "font",
+    "footer", "form", "frame", "frameset", "h1", "h2", "h3", "h4", "h5",
+    "h6", "head", "header", "hgroup", "hr", "html", "i", "iframe", "img",
+    "input", "ins", "kbd", "label", "legend", "li", "link", "main", "map",
+    "mark", "math", "menu", "meta", "meter", "nav", "noframes", "noscript",
+    "object", "ol", "optgroup", "option", "output", "p", "param",
+    "picture", "plaintext", "pre", "progress", "q", "rb", "rp", "rt",
+    "rtc", "ruby", "s", "samp", "script", "section", "select", "slot",
+    "small", "source", "span", "strong", "style", "sub", "summary", "sup",
+    "svg", "table", "tbody", "td", "template", "textarea", "tfoot", "th",
+    "thead", "time", "title", "tr", "track", "u", "ul", "var", "video",
+    "wbr")
+  // open-addressed table, power-of-two size with linear probing
+  private val mask = 511
+  private val table = new Array[String](mask + 1)
+  known.foreach { nm =>
+    var slot = hashOf(nm) & mask
+    while (table(slot) != null) slot = (slot + 1) & mask
+    table(slot) = nm
+  }
+  @inline private def low(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+  private def hashOf(s: String): Int = {
+    var h = 0
+    var i = 0
+    while (i < s.length) { h = h * 31 + low(s.charAt(i)); i += 1 }
+    h
+  }
+  def lookup(input: String, from: Int, until: Int): String = {
+    var h = 0
+    var i = from
+    while (i < until) { h = h * 31 + low(input.charAt(i)); i += 1 }
+    var slot = h & mask
+    var cand = table(slot)
+    while (cand != null) {
+      if (cand.length == until - from) {
+        var j = 0
+        var ok = true
+        while (ok && j < cand.length) {
+          if (cand.charAt(j) != low(input.charAt(from + j))) ok = false
+          j += 1
+        }
+        if (ok) return cand
+      }
+      slot = (slot + 1) & mask
+      cand = table(slot)
+    }
+    input.substring(from, until).toLowerCase
+  }
+}
+
 private final class Parser(input: String) {
   import Parser._
   import Dom.isWhitespace
@@ -191,21 +253,28 @@ private final class Parser(input: String) {
   }
 
   /** Parse tag name starting at `from`; returns (name, posAfterName). */
-  private def readTagName(from: Int): (String, Int) = {
+  /** End offset of the last [[readTagName]] call (avoids a boxed tuple on
+    * the hottest tokenizer path).
+    */
+  private var tagNameEnd: Int = 0
+
+  private def readTagName(from: Int): String = {
     var i = from
     while (i < len) {
       val c = input.charAt(i)
       if (isWhitespace(c) || c == '/' || c == '>') {
-        return (input.substring(from, i).toLowerCase, i)
+        tagNameEnd = i
+        return TagNames.lookup(input, from, i)
       }
       i += 1
     }
-    (input.substring(from).toLowerCase, len)
+    tagNameEnd = len
+    TagNames.lookup(input, from, len)
   }
 
   private def parseStartTag(): Unit = {
-    val (name, afterName) = readTagName(pos + 1)
-    pos = afterName
+    val name = readTagName(pos + 1)
+    pos = tagNameEnd
     attrBuf.clear()
     tagSelfClosing = false
     parseAttributes()
@@ -214,8 +283,8 @@ private final class Parser(input: String) {
   }
 
   private def parseEndTag(): Unit = {
-    val (name, afterName) = readTagName(pos + 2)
-    pos = afterName
+    val name = readTagName(pos + 2)
+    pos = tagNameEnd
     // skip to '>'
     var i = pos
     while (i < len && input.charAt(i) != '>') i += 1
