@@ -625,9 +625,9 @@ final class Cleaner(dom: Dom, opts: Options,
     if (dataType == "footnotes" || dataType == "footnote") return
     if (shouldPreserveFootnoteSection(node)) return
 
-    // fused measurements — no subtree-text materialization on this path
-    // (it runs for every conditional-clean candidate of every doc)
-    val textLen = textLength(dom, node)
+    // fused measurements — one subtree walk, no text materialization on
+    // this path (it runs for every conditional-clean candidate of every doc)
+    val (textLen, trimmedLen, commaN) = measureSubtree(dom, node)
     var isList = tag == "ul" || tag == "ol"
     if (!isList && textLen > 0) {
       var listLength = 0
@@ -653,7 +653,7 @@ final class Cleaner(dom: Dom, opts: Options,
       dom.remove(node); return
     }
 
-    if (commaCountSubtree(dom, node) >= 10) return
+    if (commaN >= 10) return
 
     val p = sel(node, "p").length
     val img = sel(node, "img").length
@@ -674,7 +674,6 @@ final class Cleaner(dom: Dom, opts: Options,
 
     // ad/loading words are ≤ 13 code points ("advertisement",
     // "chargement...") — length probe before materializing the text
-    val trimmedLen = trimmedTextLength(dom, node)
     if (trimmedLen > 0 && trimmedLen <= 13) {
       val trimmed = sTrim(innerText(dom, node))
       if (adWord.matcher(trimmed).find() || loadingWord.matcher(trimmed).find()) {

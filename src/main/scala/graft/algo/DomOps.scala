@@ -17,7 +17,10 @@ object DomOps {
     * reference's emptiness checks all use this set.
     */
   @inline def isSwiftWs(c: Char): Boolean = {
-    if (c == ' ' || (c >= '\t' && c <= '\r') || c == '\u0085') true
+    if (c == ' ' || (c >= '\t' && c <= '\r')) true
+    else if (c < 0x85) false // ASCII fast path: skip the Character.getType table walk
+    else if (c == '\u0085' || c == '\u00a0') true
+    else if (c < 0x1680) false // no Z-category code points below OGHAM SPACE MARK
     else {
       val t = Character.getType(c)
       t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
@@ -46,8 +49,8 @@ object DomOps {
     * spaces — `DOMHelpers.getInnerText` is built on `element.text()`).
     */
   def innerText(dom: Dom, id: Int, normalizeSpaces: Boolean = true): String = {
-    val raw = dom.textContentWithBlockSpaces(id)
-    if (normalizeSpaces) Dom.normalizeWhitespace(raw) else raw.trim
+    if (normalizeSpaces) dom.normalizedTextFused(id)
+    else dom.textContentWithBlockSpaces(id).trim
   }
 
   /** Code-point length of innerText WITHOUT building the string —
@@ -227,6 +230,68 @@ object DomOps {
     case 0x002C | 0x060C | 0xFE50 | 0xFE10 | 0xFE11 |
          0x2E41 | 0x2E34 | 0x2E32 | 0xFF0C => true
     case _ => false
+  }
+
+  /** One-walk bundle of the three measurements cleanConditionally needs —
+    * (normalized textLength, trimmed textLength, comma count) — the three
+    * separate walks were a measured CPU hotspot (same subtree visited 3×
+    * per conditional-clean candidate).
+    */
+  def measureSubtree(dom: Dom, id: Int): (Int, Int, Int) = {
+    var count = 0 // normalized length (textLength semantics)
+    var trimmed = 0 // trimmedTextLength semantics
+    var pending = 0 // trimmed: normalized-but-maybe-trailing chars
+    var commas = 0
+    var lastWs = true
+    var pendingSpace = false
+    def walk(node: Int): Unit = {
+      var c = dom.firstChild(node)
+      while (c != -1) {
+        dom.kind(c) match {
+          case Dom.Text =>
+            val s = dom.text(c)
+            var i = 0
+            while (i < s.length) {
+              val ch = s.charAt(i)
+              if (isCommaChar(ch)) commas += 1
+              if (Dom.isWhitespace(ch)) {
+                if (!lastWs) { pendingSpace = true; pending += 1 }
+                lastWs = true
+              } else if (isSwiftWs(ch)) {
+                // nbsp-like: counts in textLength; trims at edges for trimmed
+                if (pendingSpace) { count += 1; pendingSpace = false }
+                count += 1
+                if (trimmed > 0 || pending > 0) pending += 1
+                lastWs = false
+              } else {
+                if (pendingSpace) { count += 1; pendingSpace = false }
+                if (!Character.isLowSurrogate(ch)) {
+                  count += 1
+                  trimmed += pending + 1
+                  pending = 0
+                } else {
+                  // low surrogate: already counted with its high half
+                  trimmed += pending
+                  pending = 0
+                }
+                lastWs = false
+              }
+              i += 1
+            }
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
+              pendingSpace = true
+              pending += 1
+              lastWs = true
+            }
+            walk(c)
+          case _ =>
+        }
+        c = dom.nextSib(c)
+      }
+    }
+    walk(id)
+    (count, trimmed, commas)
   }
 
   /** [[commaCount]] over the subtree's text without materializing it —

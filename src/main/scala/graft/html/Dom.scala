@@ -371,15 +371,63 @@ final class Dom(initialCapacity: Int = 256) {
     sb.toString
   }
 
+  /** Fused jsoup text(): normalized (ASCII-ws runs → one space, block/br
+    * boundary spaces, edges trimmed) in a SINGLE builder pass — same
+    * result as `Dom.normalizeWhitespace(textContentWithBlockSpaces(id))`
+    * without the intermediate raw string.
+    */
+  def appendNormalizedText(id: Int, sb: java.lang.StringBuilder): Unit = {
+    var lastWs = sb.length == 0 || Dom.isWhitespace(sb.charAt(sb.length - 1))
+    def walk(node: Int): Unit = {
+      var c = firstChild(node)
+      while (c != -1) {
+        kind(c) match {
+          case Dom.Text =>
+            val s = text(c)
+            var i = 0
+            while (i < s.length) {
+              val ch = s.charAt(i)
+              if (Dom.isWhitespace(ch)) {
+                if (!lastWs) { sb.append(' '); lastWs = true }
+              } else {
+                // leading trim: a space at position 0 is never appended
+                sb.append(ch); lastWs = false
+              }
+              i += 1
+            }
+          case Dom.Element =>
+            if (Dom.insertsTextSpace(tag(c)) && !lastWs) {
+              sb.append(' '); lastWs = true
+            }
+            walk(c)
+          case _ =>
+        }
+        c = nextSib(c)
+      }
+    }
+    if (kind(id) == Dom.Text) {
+      sb.append(Dom.normalizeWhitespace(text(id)))
+      return
+    }
+    walk(id)
+  }
+
+  def normalizedTextFused(id: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    appendNormalizedText(id, sb)
+    // trailing trim (leading handled by lastWs init)
+    var len = sb.length
+    while (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    sb.setLength(len)
+    sb.toString
+  }
+
   /** Whitespace-normalized trimmed text (jsoup Element.text() analog:
     * runs of whitespace collapse to one space; entering a block element or
     * br inserts a space — matches SwiftSoup's getText used by the
     * reference for all length/score decisions).
     */
-  def normalizedText(id: Int): String = {
-    val raw = textContentWithBlockSpaces(id)
-    Dom.normalizeWhitespace(raw)
-  }
+  def normalizedText(id: Int): String = normalizedTextFused(id)
 
   /** Depth of node relative to root. */
   def depth(id: Int): Int = {
@@ -534,9 +582,25 @@ object Dom {
     s
   }
 
-  /** True if entering this element inserts a text() block space. */
-  @inline def insertsTextSpace(tag: String): Boolean =
-    tag == "br" || blockTags.contains(tag)
+  /** True if entering this element inserts a text() block space.
+    * Hot (called per element in every text/measure walk): the common tags
+    * are resolved by reference equality first — parser tag names are
+    * interned to the JVM string-literal pool, so `eq` against a literal
+    * hits for them — before falling back to the hash set.
+    */
+  @inline def insertsTextSpace(tag: String): Boolean = {
+    if ((tag eq "span") || (tag eq "a") || (tag eq "em") || (tag eq "strong") ||
+        (tag eq "i") || (tag eq "b") || (tag eq "img") || (tag eq "small") ||
+        (tag eq "u") || (tag eq "code") || (tag eq "sup") || (tag eq "sub")) false
+    else if ((tag eq "p") || (tag eq "div") || (tag eq "br") || (tag eq "li") ||
+        (tag eq "td") || (tag eq "tr") || (tag eq "ul") || (tag eq "ol") ||
+        (tag eq "h1") || (tag eq "h2") || (tag eq "h3") || (tag eq "h4") ||
+        (tag eq "table") || (tag eq "tbody") || (tag eq "figure") ||
+        (tag eq "figcaption") || (tag eq "blockquote") || (tag eq "section") ||
+        (tag eq "article") || (tag eq "header") || (tag eq "footer") ||
+        (tag eq "pre") || (tag eq "aside") || (tag eq "nav")) true
+    else tag == "br" || blockTags.contains(tag)
+  }
 
   /** Collapse runs of ASCII whitespace to single spaces and trim.
     * (U+00A0 is NOT whitespace here — matches jsoup/SwiftSoup text().)
