@@ -15,11 +15,28 @@ object Readability {
   final case class Ok(result: Result) extends Outcome
   final case class Failed(status: String, error: String) extends Outcome
 
+  /** Per-thread arena pool for the top-level document parse: the result
+    * escaping [[parse]] is pure strings, so the arena is dead on return
+    * and its 9 parallel arrays can be reused by the thread's next doc —
+    * the arena was the largest per-doc allocation term. Fragment parses
+    * (best-attempt rebuild, site-rule payloads) still allocate their own
+    * small Doms: they run while the pooled arena is live.
+    */
+  private val domPool: ThreadLocal[Dom] =
+    ThreadLocal.withInitial(() => new Dom(8192))
+  /** Drop pooled arenas that an oversize doc inflated (> ~1M nodes ≈
+    * 50 MB of arrays per thread otherwise stays resident forever).
+    */
+  private val PooledCapacityLimit = 1 << 20
+
   def parse(html: String, baseUrl: String, opts: Options = Options()): Outcome = {
     try {
-      val dom = Parser.parse(html)
-      if (dom.bodyEl == -1) return Failed("parse_failed", "no body")
-      extract(dom, baseUrl, opts)
+      val dom = Parser.parseInto(html, domPool.get())
+      val out =
+        if (dom.bodyEl == -1) Failed("parse_failed", "no body")
+        else extract(dom, baseUrl, opts)
+      if (dom.kind.length > PooledCapacityLimit) domPool.set(new Dom(8192))
+      out
     } catch {
       case e: StackOverflowError => Failed("parse_failed", "stack overflow")
       case e: Exception => Failed("error", String.valueOf(e))

@@ -42,6 +42,18 @@ final class Dom(initialCapacity: Int = 256) {
   /** Base URL from <base href>, if any (set by the tree builder). */
   var baseHref: String = null
 
+  /** Reuse this arena for a fresh document: O(1) — node slots are fully
+    * initialized by [[alloc]], so stale entries are never observable.
+    * Callers must ensure no live references into the old tree remain.
+    */
+  def reset(): Unit = {
+    n = 0
+    htmlEl = -1; headEl = -1; bodyEl = -1
+    baseHref = null
+    val id = alloc() // re-establish the document node at id 0
+    kind(id) = Dom.Document
+  }
+
   private def alloc(): Int = {
     if (n == kind.length) grow()
     val id = n
@@ -493,21 +505,36 @@ final class Dom(initialCapacity: Int = 256) {
   // ------------------------------------------------------------- snapshot
 
   /** Deep copy for pass-restore. */
-  def snapshot(): DomSnapshot = DomSnapshot(
-    n,
-    java.util.Arrays.copyOf(kind, n),
-    java.util.Arrays.copyOf(tag, n),
-    java.util.Arrays.copyOf(parent, n),
-    java.util.Arrays.copyOf(firstChild, n),
-    java.util.Arrays.copyOf(lastChild, n),
-    java.util.Arrays.copyOf(prevSib, n),
-    java.util.Arrays.copyOf(nextSib, n),
-    { val a = new Array[Array[String]](n)
-      var i = 0
-      while (i < n) { if (attrs(i) != null) a(i) = attrs(i).clone(); i += 1 }
-      a },
-    java.util.Arrays.copyOf(text, n),
-    htmlEl, headEl, bodyEl, baseHref)
+  /** Reusable snapshot buffer: the multi-pass driver takes exactly one
+    * page snapshot per document, so the arrays are pooled with the arena
+    * (same lifetime) instead of reallocated per doc.
+    */
+  private var snapBuf: DomSnapshot = null
+
+  def snapshot(): DomSnapshot = {
+    if (snapBuf == null || snapBuf.kind.length < n) {
+      val cap = math.max(n, if (snapBuf == null) 0 else snapBuf.kind.length * 2)
+      snapBuf = DomSnapshot(0, new Array[Byte](cap), new Array[String](cap),
+        new Array[Int](cap), new Array[Int](cap), new Array[Int](cap),
+        new Array[Int](cap), new Array[Int](cap),
+        new Array[Array[String]](cap), new Array[String](cap), -1, -1, -1, null)
+    }
+    val s = snapBuf
+    System.arraycopy(kind, 0, s.kind, 0, n)
+    System.arraycopy(tag, 0, s.tag, 0, n)
+    System.arraycopy(parent, 0, s.parent, 0, n)
+    System.arraycopy(firstChild, 0, s.firstChild, 0, n)
+    System.arraycopy(lastChild, 0, s.lastChild, 0, n)
+    System.arraycopy(prevSib, 0, s.prevSib, 0, n)
+    System.arraycopy(nextSib, 0, s.nextSib, 0, n)
+    var i = 0
+    while (i < n) { s.attrs(i) = if (attrs(i) != null) attrs(i).clone() else null; i += 1 }
+    System.arraycopy(text, 0, s.text, 0, n)
+    val out = s.copy(n = n, htmlEl = htmlEl, headEl = headEl, bodyEl = bodyEl,
+      baseHref = baseHref)
+    snapBuf = out // keep the filled buffer as the pool entry
+    out
+  }
 
   def restore(s: DomSnapshot): Unit = {
     n = s.n

@@ -94,7 +94,17 @@ object Parser {
     "td", "th", "marquee", "object", "template")
 
   def parse(input: String): Dom = {
-    new Parser(input).run()
+    new Parser(input, new Dom(math.max(256, input.length / 64))).run()
+  }
+
+  /** Parse into a caller-supplied arena (reset first) — the per-doc hot
+    * path pools one Dom per thread so the 9 parallel arrays are reused
+    * across documents instead of reallocated (arena allocation was the
+    * largest per-doc memory-traffic term after the text strings).
+    */
+  def parseInto(input: String, reuse: Dom): Dom = {
+    reuse.reset()
+    new Parser(input, reuse).run()
   }
 }
 
@@ -160,11 +170,9 @@ private object TagNames {
   }
 }
 
-private final class Parser(input: String) {
+private final class Parser(input: String, private val dom: Dom) {
   import Parser._
   import Dom.isWhitespace
-
-  private val dom = new Dom(math.max(256, input.length / 64))
   private val stack = new ArrayBuffer[Int](32)
   /** Active formatting elements (WHATWG §13.2.3.3): element ids with
     * [[Marker]] sentinels at td/th/caption/applet/marquee/object scopes.

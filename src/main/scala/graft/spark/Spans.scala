@@ -58,6 +58,100 @@ object Spans {
   private def esc(s: String): String =
     if (s == null) "" else s.replace("&", "&amp;").replace("\"", "&quot;")
 
+  /** [[assembleHtml]] directly from a scan row's ArrayData: every span's
+    * text bytes are appended to one UTF-8 buffer and decoded to a String
+    * ONCE per document — no per-span SpanIn/String materialization. Same
+    * output as `assembleHtml(spans.sortBy(_.offset))` (asserted in
+    * PipelineSpec).
+    */
+  private val KindText = org.apache.spark.unsafe.types.UTF8String.fromString("text")
+  private val KindImg = org.apache.spark.unsafe.types.UTF8String.fromString("img")
+  private val KindVideo = org.apache.spark.unsafe.types.UTF8String.fromString("video")
+  private val KindAudio = org.apache.spark.unsafe.types.UTF8String.fromString("audio")
+  private val KindIframe = org.apache.spark.unsafe.types.UTF8String.fromString("iframe")
+  private val KindEmbed = org.apache.spark.unsafe.types.UTF8String.fromString("embed")
+  private val KindObject = org.apache.spark.unsafe.types.UTF8String.fromString("object")
+
+  def assembleHtmlFromRow(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      nFields: Int, kindIdx: Int, textIdx: Int, refIdx: Int, offIdx: Int): String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = arr.numElements()
+    // sort span indices by offset (stable; n is small)
+    val order = new Array[Int](n)
+    var i = 0
+    while (i < n) { order(i) = i; i += 1 }
+    val offs = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, nFields)
+      offs(i) = if (row.isNullAt(offIdx)) Int.MaxValue else row.getInt(offIdx)
+      i += 1
+    }
+    // insertion sort on offsets (spans arrive ordered in practice)
+    i = 1
+    while (i < n) {
+      val oi = order(i)
+      val ki = offs(oi)
+      var j = i - 1
+      while (j >= 0 && offs(order(j)) > ki) { order(j + 1) = order(j); j -= 1 }
+      order(j + 1) = oi
+      i += 1
+    }
+    var cap = 64
+    i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, nFields)
+      if (!row.isNullAt(textIdx)) cap += row.getUTF8String(textIdx).numBytes
+      cap += 64
+      i += 1
+    }
+    var buf = new Array[Byte](cap)
+    var len = 0
+    @inline def ensure(extra: Int): Unit =
+      if (len + extra > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + extra))
+    @inline def putAscii(s: String): Unit = {
+      ensure(s.length)
+      var k = 0
+      while (k < s.length) { buf(len) = s.charAt(k).toByte; len += 1; k += 1 }
+    }
+    @inline def putUtf8(u: UTF8String): Unit = {
+      ensure(u.numBytes)
+      u.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+      len += u.numBytes
+    }
+    @inline def putStrUtf8(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ensure(b.length)
+      System.arraycopy(b, 0, buf, len, b.length)
+      len += b.length
+    }
+    @inline def putEscapedRef(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+      if (!row.isNullAt(refIdx)) putStrUtf8(esc(row.getUTF8String(refIdx).toString))
+    i = 0
+    while (i < n) {
+      val row = arr.getStruct(order(i), nFields)
+      val kindU = if (row.isNullAt(kindIdx)) null else row.getUTF8String(kindIdx)
+      if (kindU != null) {
+        if (kindU.equals(KindText)) {
+          if (!row.isNullAt(textIdx)) putUtf8(row.getUTF8String(textIdx))
+        } else if (kindU.equals(KindImg)) {
+          putAscii("<img src=\""); putEscapedRef(row); putAscii("\">")
+        } else if (kindU.equals(KindVideo) || kindU.equals(KindAudio) || kindU.equals(KindIframe)) {
+          val kind = kindU.toString
+          putAscii("<"); putAscii(kind); putAscii(" src=\"")
+          putEscapedRef(row); putAscii("\"></"); putAscii(kind); putAscii(">")
+        } else if (kindU.equals(KindEmbed)) {
+          putAscii("<embed src=\""); putEscapedRef(row); putAscii("\">")
+        } else if (kindU.equals(KindObject)) {
+          putAscii("<object data=\""); putEscapedRef(row); putAscii("\"></object>")
+        } // unknown media kind: ignore
+      }
+      i += 1
+    }
+    new String(buf, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Decompose an HTML string into the input span sequence (generator /
     * fixture-import path): markup split around top-level media elements.
     * Media elements become media spans; everything else stays one text

@@ -34,6 +34,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.indexOf("a.jpg") < re.indexOf("world"))
   }
 
+  test("InternalRow html assembly matches the typed assembleHtml (incl. unsorted offsets, unicode, escaping)") {
+    val s = spark
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = Seq(
+      Doc("a", Seq(
+        SpanIn("img", null, "https://x/å?q=\"1\"&r=2", 1),
+        SpanIn("text", "héllo <b>wörld</b> — ", null, 0),
+        SpanIn("video", null, "v.mp4", 2),
+        SpanIn("weird", "ignored", "ignored", 3),
+        SpanIn("text", "<p>tail 普通话</p>", null, 4))),
+      Doc("b", Seq(SpanIn("text", "<article><p>" + ("x," * 300) + "</p></article>", null, 0)))
+    )
+    for (d <- docs) {
+      val expected = Spans.assembleHtml(d.spans)
+      // drive the row path through the real pipeline plan
+      val viaRow = {
+        val df = Seq(d).toDS().toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("spans"))
+        val spanType = df.schema("spans").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        df.queryExecution.toRdd.map { row =>
+          Spans.assembleHtmlFromRow(row.getArray(1), spanType.length,
+            spanType.fieldIndex("kind"), spanType.fieldIndex("text"),
+            spanType.fieldIndex("media_ref"), spanType.fieldIndex("offset"))
+        }.collect().head
+      }
+      assert(viaRow == expected, s"doc ${d.doc_id}")
+    }
+  }
+
   test("corpus generation is deterministic") {
     val (h1, s1) = Corpus.docHtml(42L, 7L, 0.0)
     val (h2, s2) = Corpus.docHtml(42L, 7L, 0.0)
