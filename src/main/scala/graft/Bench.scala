@@ -17,8 +17,14 @@ object Bench {
       val tables = Seq("lineitem", "orders", "customer", "supplier", "part",
         "nation", "region", "events", "documents", "embeddings")
       tables.foreach { t =>
+        // NonFatal only: a missing/corrupt table must be visible (a silent
+        // skip would charge session init back to the first timed query),
+        // and OOM/fatal errors must not be swallowed
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up failed for $t: $e")
+        }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -13,14 +13,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Swappable storage seam (see [[graft.spark.TableIO]]): parquet in the
-    * sandbox, Iceberg catalog in production.
+    * sandbox, Iceberg catalog in production. Passed as a parameter (not a
+    * mutable global) so tests and multi-catalog jobs can't race on it.
     */
-  var io: graft.spark.TableIO = graft.spark.TableIO.parquet
+  val defaultIo: graft.spark.TableIO = graft.spark.TableIO.parquet
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String,
+      io: graft.spark.TableIO = defaultIo): DataFrame =
     io.read(spark, s"$sfDir/$name.parquet")
 
   /** Register all tables as temp views so queries can use spark.sql. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, sfDir: String,
+      io: graft.spark.TableIO = defaultIo): Unit =
+    names.foreach(n => load(spark, sfDir, n, io).createOrReplaceTempView(n))
 }

@@ -209,6 +209,22 @@ object Readability {
       val els = dom.childElements(finalContent)
       if (els.nonEmpty) els(0) else finalContent
     }
+    // Z5 orphan-cell wrap (`Readability.swift:1185-1209`, applied there as
+    // a regex on the serialized html): when the page wrapper's first
+    // non-whitespace node is a bare <td>/<th> (top candidate was a table
+    // cell), wrap the wrapper's children in an anonymous <div> so the
+    // output never carries a cell-rooted fragment.
+    if (contentRoot != finalContent) {
+      var first = dom.firstChild(contentRoot)
+      while (first != -1 && dom.kind(first) == graft.html.Dom.Text &&
+          DomOps.sBlank(dom.text(first))) first = dom.nextSib(first)
+      if (first != -1 && dom.kind(first) == graft.html.Dom.Element &&
+          (dom.tag(first) == "td" || dom.tag(first) == "th")) {
+        val inner = dom.newElement("div")
+        dom.moveChildren(contentRoot, inner)
+        dom.appendChild(contentRoot, inner)
+      }
+    }
     val contentHtml = Serialize.html(dom, contentRoot)
     val spans = Serialize.spans(dom, contentRoot).toIndexedSeq
 

@@ -2336,8 +2336,7 @@ object SiteRules {
   def applySerializationRules(articleContent: Int, ctx: Ctx): Unit = {
     // AntirezProsePreRule, OneA23GalleryWrapperRule, MksiteLeadImageFigureRule: later tier
     telegraphCaptionOnlyFigure(articleContent, ctx)
-    // WikipediaGovernmentPortraitCaptionRule: verified no-op on every
-    // covered fixture; staged-corpus-only (197-line caption rebuild)
+    wikipediaGovernmentPortraitCaption(articleContent, ctx)
     antirezProsePre(articleContent, ctx)
     mksiteLeadImageFigure(articleContent, ctx)
     cityLabHeadlineTimestamp(articleContent, ctx)
@@ -2776,6 +2775,141 @@ object SiteRules {
   /** `TelegraphCaptionOnlyFigureRule`: drop media-less caption figures and
     * the empty paragraph shells around them.
     */
+  /** `WikipediaGovernmentPortraitCaptionRule` (serialization,
+    * `WikipediaGovernmentPortraitCaptionRule.swift:12-197`): normalize the
+    * "Government and politics" portrait pair, prune five thumb captions,
+    * blank landscape-gallery list items, rebuild the Māori-language census
+    * legend, and lowercase TeAra.govt.nz link hosts. Tightly gated by
+    * heading anchor / caption signatures (evidence: staged wikipedia-2).
+    */
+  private def wikipediaGovernmentPortraitCaption(articleContent: Int, ctx: Ctx): Unit = {
+    val dom = ctx.dom
+    def firstImgParagraph(root: Int): Int = {
+      val ps = Select.select(dom, root, "p")
+      var i = 0
+      while (i < ps.length) {
+        if (Select.selectFirst(dom, ps(i), "img") != -1) return ps(i)
+        i += 1
+      }
+      -1
+    }
+    // 1. government portrait columns
+    {
+      val headings = Select.select(dom, articleContent, "h2")
+      var heading = -1
+      var i = 0
+      while (heading == -1 && i < headings.length) {
+        if (sTrim(innerText(dom, headings(i))).toLowerCase == "government and politics")
+          heading = headings(i)
+        i += 1
+      }
+      val container = if (heading == -1) -1 else nextElemSib(dom, heading)
+      if (container != -1 && dom.tag(container) == "div") {
+        val columns = dom.childElements(container).filter(c => dom.tag(c) == "div")
+        if (columns.length >= 2) {
+          for (column <- columns.take(2)) {
+            val imgP = firstImgParagraph(column)
+            if (imgP != -1 && Select.selectFirst(dom, imgP, "a") != -1 &&
+                Select.select(dom, imgP, "a").exists(a => Select.selectFirst(dom, a, "img") != -1)) {
+              val normalized = dom.newElement("div")
+              dom.appendChild(normalized, imgP)
+              dom.replaceWith(column, normalized)
+            }
+          }
+        }
+      }
+    }
+    // 2. thumb captions with known signatures
+    def shouldPruneCaption(t: String): Boolean =
+      (t.startsWith("a statue of") && t.contains("richard seddon") && t.contains("beehive") &&
+        t.contains("parliament house") && t.contains("wellington")) ||
+      (t.startsWith("the snow-capped") && t.contains("southern alps") &&
+        t.contains("northland peninsula") && t.contains("stretches towards the subtropics")) ||
+      (t.startsWith("portrait of hinepare") && t.contains("ngāti kahungunu") &&
+        t.contains("gottfried lindauer") && t.contains("hei-tiki") && t.contains("woven cloak")) ||
+      (t.startsWith("the hobbiton movie set") && t.contains("matamata") &&
+        t.contains("the lord of the rings") && t.contains("the hobbit")) ||
+      (t.startsWith("a haka performed") && t.contains("national rugby union team") &&
+        t.contains("before a game") && t.contains("stamping of the feet"))
+    for (thumb <- Select.select(dom, articleContent, "div")) {
+      if (dom.parent(thumb) != -1) {
+        val kids = dom.childElements(thumb)
+        if (kids.length >= 2 && dom.tag(kids(0)) == "p" && dom.tag(kids(1)) == "div" &&
+            Select.selectFirst(dom, kids(0), "img") != -1 &&
+            shouldPruneCaption(sTrim(innerText(dom, kids(1))).toLowerCase))
+          dom.remove(kids(1))
+      }
+    }
+    for (p <- Select.select(dom, articleContent, "p")) {
+      if (dom.parent(p) != -1 &&
+          sTrim(innerText(dom, p)).toLowerCase
+            .startsWith("aoraki / mount cook is the highest point of new zealand"))
+        dom.remove(p)
+    }
+    // 3. blank landscape-gallery list items
+    for (a <- Select.select(dom, articleContent, "a")) {
+      val href = Option(dom.attr(a, "href")).getOrElse("").toLowerCase
+      if (href.contains("nz_landscape.jpg") || href.contains("emerald_lakes") ||
+          href.contains("queenstown,_new_zealand") || href.contains("mt_tongariro")) {
+        var cur = a
+        while (cur != -1 && !(dom.kind(cur) == Dom.Element && dom.tag(cur) == "li"))
+          cur = dom.parent(cur)
+        if (cur != -1) {
+          var c = dom.firstChild(cur)
+          while (c != -1) { val next = dom.nextSib(c); dom.remove(c); c = next }
+        }
+      }
+    }
+    // 4. li > div > div(p:has(img)) — replace outer's content with inner's
+    for (outer <- Select.select(dom, articleContent, "li > div")) {
+      if (dom.parent(outer) != -1) {
+        val kids = dom.childElements(outer)
+        if (kids.nonEmpty && dom.tag(kids(0)) == "div" && firstImgParagraph(kids(0)) != -1) {
+          val inner = kids(0)
+          var c = dom.firstChild(outer)
+          while (c != -1) { val next = dom.nextSib(c); if (c != inner) dom.remove(c); c = next }
+          dom.moveChildren(inner, outer)
+          dom.remove(inner)
+        }
+      }
+    }
+    // 5. Māori-language census legend rebuild
+    val legendLabels = Seq("Less than 5%", "More than 5%", "More than 10%",
+      "More than 20%", "More than 30%", "More than 40%", "More than 50%")
+    for (p <- Select.select(dom, articleContent, "p")) {
+      if (dom.parent(p) != -1) {
+        val t = innerText(dom, p).toLowerCase
+        if (t.contains("speakers of māori according to the 2013 census") &&
+            t.contains("less than 5%") && t.contains("more than 50%")) {
+          val swatches = Select.select(dom, p, "span")
+          if (swatches.length >= legendLabels.length) {
+            val head = dom.newElement("p")
+            dom.appendChild(head, dom.newText("Speakers of Māori according to the 2013 census"))
+            val sup = Select.selectFirst(dom, p, "sup")
+            if (sup != -1) dom.appendChild(head, dom.cloneSubtree(sup))
+            dom.insertBefore(p, head)
+            var i = 0
+            while (i < legendLabels.length) {
+              val row = dom.newElement("p")
+              dom.appendChild(row, dom.cloneSubtree(swatches(i)))
+              dom.appendChild(row, dom.newText(" " + legendLabels(i) + " "))
+              dom.insertBefore(p, row)
+              i += 1
+            }
+            dom.remove(p)
+          }
+        }
+      }
+    }
+    // 6. TeAra link host normalization (case-sensitive trigger, like the
+    // reference's replacingOccurrences)
+    for (a <- Select.select(dom, articleContent, "a[href]")) {
+      val href = Option(dom.attr(a, "href")).getOrElse("")
+      if (href.contains("TeAra.govt.nz"))
+        dom.setAttr(a, "href", href.replace("TeAra.govt.nz", "teara.govt.nz"))
+    }
+  }
+
   private def telegraphCaptionOnlyFigure(articleContent: Int, ctx: Ctx): Unit = {
     val dom = ctx.dom
     val figures = Select.select(dom, articleContent, "figure")

@@ -424,14 +424,21 @@ final class Dom(initialCapacity: Int = 256) {
     walk(id)
   }
 
+  /** Scratch builder for [[normalizedTextFused]] — lives with the arena
+    * (one doc per thread at a time, no reentrancy inside the text walk),
+    * so the builder's backing array is reused across the many per-node
+    * text materializations of a document instead of regrown each call.
+    */
+  private val textScratch = new java.lang.StringBuilder(4096)
+
   def normalizedTextFused(id: Int): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val sb = textScratch
+    sb.setLength(0)
     appendNormalizedText(id, sb)
     // trailing trim (leading handled by lastWs init)
     var len = sb.length
     while (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
-    sb.setLength(len)
-    sb.toString
+    sb.substring(0, len)
   }
 
   /** Whitespace-normalized trimmed text (jsoup Element.text() analog:

@@ -104,7 +104,7 @@ object Ann {
       s
     }
 
-    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+    val qRows = queries.select(Dedup.requireLongId(col(idCol), "lshCosineTopK"), asDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect()
     val qIndex = new java.util.HashMap[String, Array[(Long, Array[Double], Double)]]()
     qRows.foreach { case (qid, qv) =>
@@ -119,7 +119,7 @@ object Ann {
     val bc = spark.sparkContext.broadcast(qIndex)
 
     val scored = candidates
-      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .select(Dedup.requireLongId(col(idCol), "lshCosineTopK"), asDouble(col(vecCol)))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val idx = bc.value

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Long-id cast that FAILS FAST on non-numeric ids instead of silently
+    * dropping rows (a null id would vanish from every join downstream).
+    */
+  private[spark] def requireLongId(c: Column, where: String): Column = {
+    val casted = c.cast("long")
+    when(c.isNotNull && casted.isNull,
+      raise_error(concat(lit(s"$where: id not castable to long: "), c.cast("string"))))
+      .otherwise(casted)
+  }
+
   /** Character shingles (lowercased, whitespace-normalized) as an array
     * column — codegen'd transform over substring offsets.
     */
@@ -230,9 +240,10 @@ object Dedup {
       threshold: Double = 0.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val txt = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val txt = docs.select(requireLongId(col(idCol), "jaccardPairs").as("id"), col(textCol).as("text"))
     val joined = pairs
-      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .select(requireLongId(col("doc_a"), "jaccardPairs").as("doc_a"),
+        requireLongId(col("doc_b"), "jaccardPairs").as("doc_b"))
       .join(txt.select(col("id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(txt.select(col("id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
@@ -350,7 +361,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    docs.select(requireLongId(col(idCol), "simhashDf").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, simhashJvm(Option(text).getOrElse("")))

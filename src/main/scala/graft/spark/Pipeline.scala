@@ -43,10 +43,10 @@ object Pipeline {
       oversizeSpans: Int = 256,
       /** hard cap: skip docs above this many HTML chars (0 = off) */
       maxHtmlChars: Int = 32 << 20,
-      /** partitions for the oversize branch: bounds how many giant docs
-        * are in flight at once PER EXECUTOR — each holds a multi-hundred-MB
-        * working set (arena + snapshot + clone), so unbounded concurrency
-        * turns into GC pressure that stalls the small-doc tasks too
+      /** bound on concurrently-extracting giant docs PER EXECUTOR (gate
+        * permits) — each holds a multi-hundred-MB working set (arena +
+        * snapshot + clone), so unbounded concurrency turns into GC
+        * pressure that stalls the small-doc tasks too
         */
       oversizePartitions: Int = 16,
       /** full salted shuffle instead of scan-aligned + oversize split */
@@ -54,15 +54,15 @@ object Pipeline {
 
   /** Extraction plan (scan-aligned by default):
     *
-    *   - spans→html assembly happens in the typed layer (plain string
-    *     concat; Catalyst higher-order functions are interpreted, not
-    *     codegen'd, and measured 10× slower here)
-    *   - small docs (≈99.9%) extract map-only, aligned with the scan
-    *     partitions — NO shuffle of the corpus
-    *   - oversize docs are rare but 100–1000× the work: they are split
-    *     out and repartitioned across a bounded number of partitions so a
-    *     giant page neither serializes a scan split nor floods executor
-    *     heaps (explicit skew handling)
+    *   - ONE scan of the corpus, map-only — no shuffle, no second pass
+    *   - spans→html assembly happens below the row abstraction (single
+    *     UTF-8 buffer per doc; Catalyst higher-order functions are
+    *     interpreted, not codegen'd, and measured 10× slower here)
+    *   - oversize docs are rare but 100–1000× the work: a per-executor
+    *     gate bounds how many are in flight per JVM so giant pages don't
+    *     flood executor heaps (explicit skew handling — the earlier
+    *     filter/union design bought the same bound with a full second
+    *     corpus scan)
     */
   def extract(docs: Dataset[Doc], cfg: Config = Config())(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
@@ -87,12 +87,30 @@ object Pipeline {
       val refIdx = spanType.fieldIndex("media_ref")
       val offIdx = spanType.fieldIndex("offset")
       val nFields = spanType.length
+      val oversizeSpans = cfg.oversizeSpans
+      val oversizePermits = cfg.oversizePartitions
       val rdd = df.queryExecution.toRdd.mapPartitions { it =>
         it.map { row =>
           val docId = row.getUTF8String(0).toString
-          val html = Spans.assembleHtmlFromRow(row.getArray(1), nFields,
-            kindIdx, textIdx, refIdx, offIdx)
-          Spans.extractFromHtml(docId, html, cfg.baseUrl, opts, cfg.maxHtmlChars)
+          val arr = row.getArray(1)
+          val big = arr.numElements() > oversizeSpans
+          def go(): ExtractedDoc = {
+            val html = Spans.assembleHtmlFromRow(arr, nFields,
+              kindIdx, textIdx, refIdx, offIdx)
+            Spans.extractFromHtml(docId, html, cfg.baseUrl, opts, cfg.maxHtmlChars)
+          }
+          if (!big) go()
+          else {
+            // explicit skew handling WITHOUT a second corpus scan or a
+            // shuffle: oversize docs (~0.1%, but each a multi-hundred-MB
+            // working set) are throttled by a per-executor gate so at most
+            // `oversizePartitions` giants are in flight per JVM — the
+            // earlier filter/union design paid a full second scan of the
+            // corpus for the same bound
+            val gate = Pipeline.oversizeGate(oversizePermits)
+            gate.acquire()
+            try go() finally gate.release()
+          }
         }
       }
       spark.createDataset(rdd)
@@ -115,12 +133,22 @@ object Pipeline {
         }
       }
     } else {
-      // codegen'd pre-typed split; each branch deserializes + assembles
-      // only its own rows
-      val small = docs.filter(size(col("spans")) <= cfg.oversizeSpans).as[Doc]
-      val big = docs.filter(size(col("spans")) > cfg.oversizeSpans).as[Doc]
-        .repartition(cfg.oversizePartitions)
-      run(small).union(run(big))
+      // single scan, map-only; oversize docs are gated inside the map
+      run(docs)
+    }
+  }
+
+  /** Per-JVM (= per-executor) gate bounding concurrent oversize-doc
+    * extractions; created once with the first caller's permit count.
+    */
+  private val oversizeGateRef =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.Semaphore]()
+  private[spark] def oversizeGate(permits: Int): java.util.concurrent.Semaphore = {
+    val cur = oversizeGateRef.get()
+    if (cur != null) cur
+    else {
+      oversizeGateRef.compareAndSet(null, new java.util.concurrent.Semaphore(permits))
+      oversizeGateRef.get()
     }
   }
 
@@ -134,14 +162,28 @@ object Pipeline {
     * lineage from committed files also makes it exactly-once under task
     * retries: a re-run task's uncommitted output is never counted.
     */
+  /** RESUME CONTRACT (enforced by construction, see [[Lineage]]):
+    *   - a run must cover WHOLE part_key buckets — `Lineage.fromOutput`
+    *     marks a bucket done when any committed row carries it, so feeding
+    *     a corpus subset that splits buckets would mark unprocessed docs
+    *     done. [[Lineage.resumeFilter]] is the only supported way to
+    *     narrow the input, and it drops only whole buckets.
+    *   - a resumed run MUST pass `resume = true`: the sink then appends,
+    *     so the committed output being resumed from survives. A fresh run
+    *     (default) replaces the table.
+    * All sink I/O goes through the [[TableIO]] seam — on Iceberg the
+    * append is an atomic snapshot commit, which is what makes
+    * lineage-from-committed-output exactly-once under task retry.
+    */
   def extractToSink(docs: Dataset[Doc], runId: String, outPath: String,
-      cfg: Config = Config(), nParts: Int = Lineage.defaultParts)(
+      cfg: Config = Config(), nParts: Int = Lineage.defaultParts,
+      io: TableIO = TableIO.parquet, resume: Boolean = false)(
       implicit spark: SparkSession): (Dataset[ExtractedDoc], Dataset[LineageRow]) = {
     import spark.implicits._
-    extract(docs, cfg)
+    val out = extract(docs, cfg)
       .withColumn("part_key", Lineage.partKey(col("doc_id"), nParts))
-      .write.mode("overwrite").parquet(outPath)
-    val written = spark.read.parquet(outPath)
+    if (resume) io.append(out, outPath) else io.write(out, outPath)
+    val written = io.read(spark, outPath)
     val extracted = written.drop("part_key").as[ExtractedDoc]
     (extracted, Lineage.fromOutput(written, runId))
   }

@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 trait TableIO {
   def read(spark: SparkSession, table: String): DataFrame
+  /** Replace the table's contents (fresh-run sink). */
   def write(df: DataFrame, table: String): Unit
+  /** Append to the table (resumed-run sink: the committed output of the
+    * prior run must survive — see [[Pipeline.extractToSink]]).
+    */
+  def append(df: DataFrame, table: String): Unit
 }
 
 /** Parquet-backed implementation: table name = directory path. */
@@ -32,6 +37,9 @@ final class ParquetTableIO(root: String = "") extends TableIO {
 
   override def write(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(path(table))
+
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").parquet(path(table))
 }
 
 /** Catalog-backed implementation for production (Iceberg/Hive): table
@@ -44,6 +52,9 @@ final class CatalogTableIO extends TableIO {
 
   override def write(df: DataFrame, table: String): Unit =
     df.writeTo(table).createOrReplace()
+
+  override def append(df: DataFrame, table: String): Unit =
+    df.writeTo(table).append()
 }
 
 object TableIO {
