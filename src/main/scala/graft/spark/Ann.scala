@@ -46,12 +46,19 @@ object Ann {
     * and cost MORE than the brute-force scorer it was meant to beat).
     */
   def signBucketsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[String] = {
+    val bits = signBitsJvm(vec, nTables, nBits)
+    Array.tabulate(nTables)(t => t.toString + ":" + bits(t).toBinaryString)
+  }
+
+  /** Bit-packed variant: table t's signature as the low `nBits` bits of a
+    * long — the persistable form ([[signatureTable]]). nBits ≤ 57.
+    */
+  def signBitsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val out = new Array[String](nTables)
+    val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
-      val sb = new java.lang.StringBuilder(nBits + 4)
-      sb.append(t).append(':')
+      var sig = 0L
       var h = 0
       while (h < nBits) {
         val seedHash = XXH64.hashInt(t * 1000 + h, 42L)
@@ -63,13 +70,43 @@ object Ann {
           proj += vec(j) * sign
           j += 1
         }
-        sb.append(if (proj >= 0) '1' else '0')
+        if (proj >= 0) sig |= (1L << h)
         h += 1
       }
-      out(t) = sb.toString
+      out(t) = sig
       t += 1
     }
     out
+  }
+
+  /** Bucket join key for (table, packed signature). */
+  @inline def bucketKey(table: Int, bits: Long, nBits: Int): Long =
+    (table.toLong << nBits) | bits
+
+  /** Candidate-side signature table: (vec_id, v, norm, sigs array<long>) —
+    * the REUSABLE artifact that fixes sign-LSH's economics. Computing a
+    * signature costs nTables·nBits·dims hash-parity ops per vector while
+    * brute force costs only nQueries·dims multiplies, so a one-shot LSH
+    * query run loses to [[cosineTopK]] whenever
+    * nQueries < ~nTables·nBits (64 at the 8×8 default). Persist THIS
+    * table once and [[lshCosineTopKPrecomputed]] amortizes the signature
+    * cost across every subsequent query batch — the per-batch cost drops
+    * to index-probe + scoring of colliding pairs only.
+    */
+  def signatureTable(candidates: DataFrame, nTables: Int = 8, nBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.select(Dedup.requireLongId(col(idCol), "signatureTable"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (vid, vseq) =>
+        val v = vseq.toArray
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (vid, vseq, math.sqrt(s), signBitsJvm(v, nTables, nBits).toSeq)
+      })
+      .toDF("vec_id", "v", "norm", "sigs")
   }
 
   /** LSH-bucketed ANN for a QUERY SET against a huge candidate corpus:
@@ -106,14 +143,18 @@ object Ann {
 
     val qRows = queries.select(Dedup.requireLongId(col(idCol), "lshCosineTopK"), asDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect()
-    val qIndex = new java.util.HashMap[String, Array[(Long, Array[Double], Double)]]()
+    val qIndex = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Double], Double)]]()
     qRows.foreach { case (qid, qv) =>
       val arr = qv.toArray
       val nrm = math.sqrt(dotJvm(arr, arr))
-      signBucketsJvm(arr, nTables, nBits).foreach { b =>
-        val prev = qIndex.get(b)
+      val bits = signBitsJvm(arr, nTables, nBits)
+      var t = 0
+      while (t < nTables) {
+        val key = java.lang.Long.valueOf(bucketKey(t, bits(t), nBits))
+        val prev = qIndex.get(key)
         val entry = (qid, arr, nrm)
-        qIndex.put(b, if (prev == null) Array(entry) else prev :+ entry)
+        qIndex.put(key, if (prev == null) Array(entry) else prev :+ entry)
+        t += 1
       }
     }
     val bc = spark.sparkContext.broadcast(qIndex)
@@ -128,10 +169,10 @@ object Ann {
           val vn = math.sqrt(dotJvm(v, v))
           val seen = new java.util.HashSet[Long]()
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          val buckets = signBucketsJvm(v, nTables, nBits)
+          val buckets = signBitsJvm(v, nTables, nBits)
           var bi = 0
           while (bi < buckets.length) {
-            val hits = idx.get(buckets(bi))
+            val hits = idx.get(java.lang.Long.valueOf(bucketKey(bi, buckets(bi), nBits)))
             if (hits != null) {
               var qi = 0
               while (qi < hits.length) {
@@ -146,6 +187,77 @@ object Ann {
               }
             }
             bi += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("query_id", "vec_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** [[lshCosineTopK]] over a PRECOMPUTED [[signatureTable]]: the scan
+    * reads stored signatures instead of recomputing them, so a query
+    * batch pays only index-probe + colliding-pair scoring. This is the
+    * regime where sign-LSH beats brute force even for small query sets —
+    * see the crossover note on [[signatureTable]].
+    */
+  def lshCosineTopKPrecomputed(sigTable: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 8, nBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = sigTable.sparkSession
+    import spark.implicits._
+    def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qRows = queries.select(Dedup.requireLongId(col(idCol), "lshCosineTopKPrecomputed"),
+        asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])].collect()
+    val qIndex = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Double], Double)]]()
+    qRows.foreach { case (qid, qv) =>
+      val arr = qv.toArray
+      val nrm = math.sqrt(dotJvm(arr, arr))
+      val bits = signBitsJvm(arr, nTables, nBits)
+      var t = 0
+      while (t < nTables) {
+        val key = java.lang.Long.valueOf(bucketKey(t, bits(t), nBits))
+        val prev = qIndex.get(key)
+        val entry = (qid, arr, nrm)
+        qIndex.put(key, if (prev == null) Array(entry) else prev :+ entry)
+        t += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast(qIndex)
+    val scored = sigTable.select(col("vec_id"), col("v"), col("norm"), col("sigs"))
+      .as[(Long, Seq[Double], Double, Seq[Long])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (vid, vseq, vn, sigs) =>
+          var v: Array[Double] = null // materialized lazily on first hit
+          val seen = new java.util.HashSet[Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var t = 0
+          while (t < sigs.length) {
+            val hits = idx.get(java.lang.Long.valueOf(bucketKey(t, sigs(t), nBits)))
+            if (hits != null) {
+              var qi = 0
+              while (qi < hits.length) {
+                val (qid, qv, qn) = hits(qi)
+                if (qid != vid && seen.add(qid)) {
+                  if (v == null) v = vseq.toArray
+                  val c = java.math.BigDecimal.valueOf(dotJvm(qv, v) / (qn * vn))
+                    .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+                  out += ((qid, vid, c))
+                }
+                qi += 1
+              }
+            }
+            t += 1
           }
           out.iterator
         }
