@@ -63,32 +63,53 @@ object BenchScaling {
       }
     }
 
-    // interleave measurements to decorrelate host noise
-    val lows = new scala.collection.mutable.ArrayBuffer[Double]()
-    val highs = new scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 0 until reps) {
-      lows += measure(low)
-      highs += measure(high)
+    // Two N→4N ladders, interleaved to decorrelate host noise:
+    //   4→16 — stays under the host's single shared memory controller, so
+    //          it is the closer proxy for multi-node scaling (each real
+    //          cluster node multiplies memory bandwidth with core count);
+    //   8→32 — saturates that controller at the high level, measuring the
+    //          host's bandwidth ceiling as much as the engine (the
+    //          Spark-free raw thread-pool probe shows the same cap).
+    // Both are reported; the headline is the primary (env-selected) ladder.
+    val ladders = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDERS", s"$low:$high,4:16")
+      .split(",").toSeq.map { s => val p = s.split(":"); (p(0).toInt, p(1).toInt) }
+    val runs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Double]]()
+    val levels = ladders.flatMap { case (a, b) => Seq(a, b) }.distinct
+    for (_ <- 0 until reps; lvl <- levels)
+      runs.getOrElseUpdate(lvl, new scala.collection.mutable.ArrayBuffer[Double]()) += measure(lvl)
+
+    def ladderJson(lo: Int, hi: Int): (Double, Double, String) = {
+      val lows = runs(lo)
+      val highs = runs(hi)
+      val ratio = hi.toDouble / lo
+      val efficiency = highs.max / (ratio * lows.max)
+      // paired estimate: each (low, high) pair ran back-to-back in the same
+      // ~1-minute host window, so the pair ratio is less distorted by the
+      // host's intermittent memory-bandwidth throttling than best-of-each
+      val pairEff = lows.zip(highs).map { case (l, h) => h / (ratio * l) }.max
+      val j =
+        s"""{"low":$lo,"high":$hi,"efficiency":${f"$efficiency%.4f"},""" +
+        s""""efficiency_paired_best":${f"$pairEff%.4f"},""" +
+        s""""docs_per_sec_low":${f"${lows.max}%.2f"},"docs_per_sec_high":${f"${highs.max}%.2f"},""" +
+        s""""runs_low":[${lows.map(v => f"$v%.1f").mkString(",")}],""" +
+        s""""runs_high":[${highs.map(v => f"$v%.1f").mkString(",")}]}"""
+      (efficiency, pairEff, j)
     }
-    val thrLow = lows.max
-    val thrHigh = highs.max
-    val ratio = high.toDouble / low
-    val efficiency = thrHigh / (ratio * thrLow)
-    // paired estimate: each (low, high) pair ran back-to-back in the same
-    // ~1-minute host window, so the pair ratio is less distorted by the
-    // host's intermittent memory-bandwidth throttling than best-of-each
-    // (which usually pairs an unthrottled low with a throttled high)
-    val pairEff = lows.zip(highs).map { case (l, h) => h / (ratio * l) }.max
+    val detail = ladders.map { case (lo, hi) => (lo, hi, ladderJson(lo, hi)) }
+    val (headEff, headPair, _) = detail.head._3
     val json =
-      s"""{"metric":"scaling_efficiency","value":${f"$efficiency%.4f"},"unit":"ratio",""" +
-      s""""efficiency_paired_best":${f"$pairEff%.4f"},""" +
-      s""""docs":$nDocs,"parallelism_low":$low,"parallelism_high":$high,""" +
-      s""""docs_per_sec_low":${f"$thrLow%.2f"},"docs_per_sec_high":${f"$thrHigh%.2f"},""" +
-      s""""runs_low":[${lows.map(v => f"$v%.1f").mkString(",")}],""" +
-      s""""runs_high":[${highs.map(v => f"$v%.1f").mkString(",")}]}"""
+      s"""{"metric":"scaling_efficiency","value":${f"$headEff%.4f"},"unit":"ratio",""" +
+      s""""efficiency_paired_best":${f"$headPair%.4f"},""" +
+      s""""docs":$nDocs,"parallelism_low":${detail.head._1},"parallelism_high":${detail.head._2},""" +
+      s""""ladders":[${detail.map(_._3._3).mkString(",")}]}"""
     println(json)
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/scaling_latest.json"), json + "\n")
+    // append to the distribution log: single windows on this host swing 3×,
+    // so no one run is meaningful alone
+    Files.writeString(Paths.get("BENCH/scaling_history.jsonl"),
+      json + "\n", java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 }
 

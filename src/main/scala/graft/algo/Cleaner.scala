@@ -650,6 +650,7 @@ final class Cleaner(dom: Dom, opts: Options,
     val weight = cleanerClassWeight(node)
     if (weight < 0) {
       Inspect.log("clean-cond")(s"remove(weight<0): ${Inspect.describe(dom, node)}")
+      Inspect.recordRemoval("clean-conditionally", Inspect.describe(dom, node), "weight<0")
       dom.remove(node); return
     }
 
@@ -716,6 +717,9 @@ final class Cleaner(dom: Dom, opts: Options,
           f"headDens=$headingDensity%.2f len=$contentLength dens=$density%.2f tDens=$tDensity%.2f w=$weight" +
           s"\n    html=${graft.html.Serialize.html(dom, node).take(500)}"
       }
+      Inspect.recordRemoval("clean-conditionally", Inspect.describe(dom, node),
+        f"p=$p img=$img li=$li input=$input headDens=$headingDensity%.2f " +
+          f"len=$contentLength dens=$density%.2f tDens=$tDensity%.2f w=$weight")
       dom.remove(node)
     }
   }

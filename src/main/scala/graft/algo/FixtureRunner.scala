@@ -199,6 +199,9 @@ object FixtureRunner {
       require(dirs.nonEmpty, s"no fixture ${args(2)} in ${args(1)}")
       val r = runOne(dirs.head)
       Inspect.dump().foreach(println)
+      val jsonPath = Paths.get(s"/tmp/graft_inspect_${args(2)}.json")
+      Files.writeString(jsonPath, Inspect.toJson)
+      println(s"structured report: $jsonPath")
       println(s"=> spans=${r.nOut}/${r.nExp} spansMatch=${r.spansMatch} metaDiffs=${r.metaDiffs}")
       r.firstSpanDiff.foreach(d => println("  " + d.replace("\n", "\n  ")))
       return

@@ -59,12 +59,14 @@ final class Grab(
     while (true) {
       articleByline = None
       scoring = new Scoring(dom.n + 64)
+      Inspect.beginPass(flags)
 
       val (content, selectedCandidate, neededToCreate, articleDir) = performExtraction(body)
 
       val textLength = acceptanceTextLength(content, flags)
       Inspect.log("attempt")(s"flags=$flags cleanedTextLength=$textLength threshold=${opts.charThreshold}")
       lastTextLength = textLength
+      Inspect.endPass(textLength, accepted = textLength >= opts.charThreshold)
       if (textLength >= opts.charThreshold) {
         return Right(GrabResult(content, articleByline, articleDir, articleLang, flags,
           neededToCreate, attempts.toSeq))
@@ -639,6 +641,9 @@ final class Grab(
 
     var topCandidate = if (top.nonEmpty) top(0)._1 else -1
     var neededToCreate = false
+    Inspect.recordTopCandidates(top.toSeq.map { case (el, _) =>
+      Inspect.candidateInfo(dom, el, scoring, isFlagActive(FlagWeightClasses))
+    })
 
     if (topCandidate == -1 || dom.tag(topCandidate) == "body") {
       // fallback: move body children into a fresh div
@@ -650,6 +655,8 @@ final class Grab(
       neededToCreate = true
     } else {
       def step(name: String, prev: Int, next: Int): Int = {
+        if (next != prev) Inspect.recordPromotion(name,
+          Inspect.describe(dom, prev, scoring), Inspect.describe(dom, next, scoring))
         if (next != prev) Inspect.log("promotion") {
           val chain = {
             var cur = dom.parent(prev)
@@ -674,6 +681,8 @@ final class Grab(
       topCandidate = step("schema/site", topCandidate, promoteSchemaArticleParentIfNeeded(topCandidate))
       topCandidate = step("semantic-main", topCandidate, promoteSemanticMainAncestorIfNeeded(topCandidate))
     }
+    Inspect.recordFinalCandidate(
+      Inspect.candidateInfo(dom, topCandidate, scoring, isFlagActive(FlagWeightClasses)))
     (topCandidate, neededToCreate)
   }
 
@@ -882,6 +891,9 @@ final class Grab(
         val sc = if (scoring.isInitialized(sibling)) f"${scoring.contentScore(sibling)}%.2f" else "-"
         f"${Inspect.describe(dom, sibling)} score=$sc thr=$siblingScoreThreshold%.2f append=$append"
       }
+      Inspect.recordSibling(Inspect.describe(dom, sibling),
+        scoring.contentScore(sibling), siblingScoreThreshold, append,
+        if (sibling == topCandidate) "top-candidate" else if (append) "merged" else "skipped")
       if (append) {
         // CLONE into articleContent (the reference clones via
         // alterToDivIfNeeded — the original body stays intact so later
