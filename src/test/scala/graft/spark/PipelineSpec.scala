@@ -137,6 +137,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resumed sink APPENDS: the committed output being resumed from survives") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 16, nPartitions = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    try {
+      // run 1 covers whole buckets 0..3 only (whole-bucket contract)
+      val firstHalf = docs.toDF()
+        .filter(Lineage.partKey(col("doc_id"), nParts) < 4).as[Doc]
+      val (_, lineage1) = Pipeline.extractToSink(firstHalf, "run-1", out,
+        Pipeline.Config(nSalts = 4), nParts)
+      val n1 = spark.read.parquet(out).count()
+      // resumed run: remaining buckets, resume = true → append
+      val remaining = Lineage.resumeFilter(docs.toDF(), lineage1.toDF(), nParts).as[Doc]
+      val (_, lineage2) = Pipeline.extractToSink(remaining, "run-2", out,
+        Pipeline.Config(nSalts = 4), nParts, resume = true)
+      val total = spark.read.parquet(out)
+      assert(total.count() == 16, s"append lost rows: ${total.count()} (run1 wrote $n1)")
+      assert(total.select("doc_id").distinct().count() == 16)
+      // combined lineage covers every doc exactly once
+      assert(lineage2.collect().map(_.n_docs).sum == 16) // derived from full committed table
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("resume stays map-only even with a done set too large to broadcast") {
     implicit val s: SparkSession = spark
     import s.implicits._
