@@ -85,13 +85,20 @@ object BenchScaling {
       val highs = runs(hi)
       val ratio = hi.toDouble / lo
       val efficiency = highs.max / (ratio * lows.max)
-      // paired estimate: each (low, high) pair ran back-to-back in the same
-      // ~1-minute host window, so the pair ratio is less distorted by the
-      // host's intermittent memory-bandwidth throttling than best-of-each
-      val pairEff = lows.zip(highs).map { case (l, h) => h / (ratio * l) }.max
+      // paired estimates: each (low, high) pair ran back-to-back in the
+      // same ~1-minute host window. The MAX pair is distorted the other
+      // way (a throttled low inflates its pair ratio, even past 1.0), so
+      // the median of pair ratios is reported alongside as the robust
+      // window-matched figure.
+      val pairRatios = lows.zip(highs).map { case (l, h) => h / (ratio * l) }.sorted
+      val pairEff = pairRatios.max
+      val pairMedian =
+        if (pairRatios.length % 2 == 1) pairRatios(pairRatios.length / 2)
+        else (pairRatios(pairRatios.length / 2 - 1) + pairRatios(pairRatios.length / 2)) / 2
       val j =
         s"""{"low":$lo,"high":$hi,"efficiency":${f"$efficiency%.4f"},""" +
         s""""efficiency_paired_best":${f"$pairEff%.4f"},""" +
+        s""""efficiency_paired_median":${f"$pairMedian%.4f"},""" +
         s""""docs_per_sec_low":${f"${lows.max}%.2f"},"docs_per_sec_high":${f"${highs.max}%.2f"},""" +
         s""""runs_low":[${lows.map(v => f"$v%.1f").mkString(",")}],""" +
         s""""runs_high":[${highs.map(v => f"$v%.1f").mkString(",")}]}"""
