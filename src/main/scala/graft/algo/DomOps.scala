@@ -128,6 +128,7 @@ object DomOps {
     */
   def trimmedTextLength(dom: Dom, id: Int): Int = {
     var count = 0
+    var started = false // any non-swift-ws content emitted yet (leading trim)
     var lastWs = true
     var pending = 0 // normalized chars not yet counted (trailing ws candidates)
     def walk(node: Int): Unit = {
@@ -140,23 +141,26 @@ object DomOps {
             while (i < s.length) {
               val ch = s.charAt(i)
               if (Dom.isWhitespace(ch)) {
-                if (!lastWs) pending += 1 // collapsed space, maybe trailing
+                if (started && !lastWs) pending += 1 // collapsed space, maybe trailing
                 lastWs = true
               } else if (isSwiftWs(ch)) {
-                // nbsp-like: survives normalization but trims at edges
-                if (count > 0 || pending > 0) pending += 1
+                // nbsp-like: survives normalization but sTrim trims it at
+                // BOTH edges — and everything before `started` is edge
+                if (started) pending += 1
                 lastWs = false
               } else {
                 count += pending + 1
                 pending = 0
                 if (Character.isLowSurrogate(ch)) count -= 1
+                started = true
                 lastWs = false
               }
               i += 1
             }
           case Dom.Element =>
             if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
-              pending += 1; lastWs = true
+              if (started) pending += 1
+              lastWs = true
             }
             walk(c)
           case _ =>
@@ -240,6 +244,7 @@ object DomOps {
   def measureSubtree(dom: Dom, id: Int): (Int, Int, Int) = {
     var count = 0 // normalized length (textLength semantics)
     var trimmed = 0 // trimmedTextLength semantics
+    var started = false // trimmed: any non-swift-ws content yet (leading trim)
     var pending = 0 // trimmed: normalized-but-maybe-trailing chars
     var commas = 0
     var lastWs = true
@@ -255,13 +260,14 @@ object DomOps {
               val ch = s.charAt(i)
               if (isCommaChar(ch)) commas += 1
               if (Dom.isWhitespace(ch)) {
-                if (!lastWs) { pendingSpace = true; pending += 1 }
+                if (!lastWs) { pendingSpace = true; if (started) pending += 1 }
                 lastWs = true
               } else if (isSwiftWs(ch)) {
-                // nbsp-like: counts in textLength; trims at edges for trimmed
+                // nbsp-like: counts in textLength; sTrim trims it (and any
+                // pre-`started` run) at the edges for trimmed
                 if (pendingSpace) { count += 1; pendingSpace = false }
                 count += 1
-                if (trimmed > 0 || pending > 0) pending += 1
+                if (started) pending += 1
                 lastWs = false
               } else {
                 if (pendingSpace) { count += 1; pendingSpace = false }
@@ -274,6 +280,7 @@ object DomOps {
                   trimmed += pending
                   pending = 0
                 }
+                started = true
                 lastWs = false
               }
               i += 1
@@ -281,7 +288,7 @@ object DomOps {
           case Dom.Element =>
             if (Dom.insertsTextSpace(dom.tag(c)) && !lastWs) {
               pendingSpace = true
-              pending += 1
+              if (started) pending += 1
               lastWs = true
             }
             walk(c)
@@ -294,26 +301,6 @@ object DomOps {
     (count, trimmed, commas)
   }
 
-  /** [[commaCount]] over the subtree's text without materializing it —
-    * comma chars are untouched by whitespace normalization, so a raw
-    * text-node scan counts exactly what `commaCount(innerText(…))` would.
-    */
-  def commaCountSubtree(dom: Dom, id: Int): Int = {
-    var count = 0
-    var cur = id
-    while (cur != -1) {
-      if (dom.kind(cur) == Dom.Text) {
-        val s = dom.text(cur)
-        var i = 0
-        while (i < s.length) {
-          if (isCommaChar(s.charAt(i))) count += 1
-          i += 1
-        }
-      }
-      cur = dom.nextInTree(cur, id)
-    }
-    count
-  }
 
   /** Link density with 0.3 coefficient for in-page hash links
     * (`NodeScoring.swift:142-159`).

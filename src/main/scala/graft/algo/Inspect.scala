@@ -105,6 +105,12 @@ object Inspect {
 
   // ------------------------------------------------------------- to JSON
 
+  /** Locale-independent decimal (the f"" interpolator uses the default
+    * locale — comma decimal separators would corrupt the JSON).
+    */
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   private def esc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
@@ -124,9 +130,9 @@ object Inspect {
   }
 
   private def cJson(c: CandidateInfo): String =
-    s"""{"descriptor":"${esc(c.descriptor)}","finalScore":${f"${c.finalScore}%.4f"},""" +
-    s""""baseScore":${c.baseScore},"classWeight":${c.classWeight},""" +
-    s""""childrenScore":${f"${c.childrenScore}%.4f"}}"""
+    s"""{"descriptor":"${esc(c.descriptor)}","finalScore":${num(c.finalScore)},""" +
+    s""""baseScore":${num(c.baseScore)},"classWeight":${num(c.classWeight)},""" +
+    s""""childrenScore":${num(c.childrenScore)}}"""
 
   /** Machine-readable report of the recorded passes. */
   def toJson: String = {
@@ -137,8 +143,8 @@ object Inspect {
       s""""promotions":[${p.promotions.map(x =>
         s"""{"step":"${esc(x.step)}","from":"${esc(x.from)}","to":"${esc(x.to)}"}""").mkString(",")}],""" +
       s""""siblings":[${p.siblings.map(x =>
-        s"""{"descriptor":"${esc(x.descriptor)}","score":${f"${x.score}%.4f"},""" +
-        s""""threshold":${f"${x.threshold}%.4f"},"appended":${x.appended},""" +
+        s"""{"descriptor":"${esc(x.descriptor)}","score":${num(x.score)},""" +
+        s""""threshold":${num(x.threshold)},"appended":${x.appended},""" +
         s""""reason":"${esc(x.reason)}"}""").mkString(",")}],""" +
       s""""removals":[${p.removals.map(x =>
         s"""{"phase":"${esc(x.phase)}","descriptor":"${esc(x.descriptor)}","reason":"${esc(x.reason)}"}""").mkString(",")}],""" +

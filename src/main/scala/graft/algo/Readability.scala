@@ -32,14 +32,17 @@ object Readability {
   def parse(html: String, baseUrl: String, opts: Options = Options()): Outcome = {
     try {
       val dom = Parser.parseInto(html, domPool.get())
-      val out =
-        if (dom.bodyEl == -1) Failed("parse_failed", "no body")
-        else extract(dom, baseUrl, opts)
-      if (dom.kind.length > PooledCapacityLimit) domPool.set(new Dom(8192))
-      out
+      if (dom.bodyEl == -1) Failed("parse_failed", "no body")
+      else extract(dom, baseUrl, opts)
     } catch {
       case e: StackOverflowError => Failed("parse_failed", "stack overflow")
       case e: Exception => Failed("error", String.valueOf(e))
+    } finally {
+      // capacity guard must also run on the throw paths — the docs most
+      // likely to inflate the arena are exactly the ones that fail
+      val dom = domPool.get()
+      if (dom.kind.length > PooledCapacityLimit) domPool.set(new Dom(8192))
+      else dom.trimScratch()
     }
   }
 

@@ -2218,13 +2218,23 @@ object SiteRules {
   }
 
   /** Allocation-free probe: any text node in the subtree containing the
-    * (single-word, case-exact) needle — used to gate rules that would
-    * otherwise materialize large subtree text on every document.
+    * needle (ASCII-case-insensitive) — used to gate rules that would
+    * otherwise materialize large subtree text on every document. A word
+    * split across inline markup is not found; callers must pick a needle
+    * whose split is implausible.
     */
   private def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
     var cur = root
     while (cur != -1) {
-      if (dom.kind(cur) == Dom.Text && dom.text(cur).contains(needle)) return true
+      if (dom.kind(cur) == Dom.Text) {
+        val s = dom.text(cur)
+        val last = s.length - needle.length
+        var i = 0
+        while (i <= last) {
+          if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+          i += 1
+        }
+      }
       cur = dom.nextInTree(cur, root)
     }
     false
@@ -2779,8 +2789,11 @@ object SiteRules {
     * `WikipediaGovernmentPortraitCaptionRule.swift:12-197`): normalize the
     * "Government and politics" portrait pair, prune five thumb captions,
     * blank landscape-gallery list items, rebuild the Māori-language census
-    * legend, and lowercase TeAra.govt.nz link hosts. Tightly gated by
-    * heading anchor / caption signatures (evidence: staged wikipedia-2).
+    * legend, and lowercase TeAra.govt.nz link hosts. Like the reference,
+    * this serialization rule is NOT host-gated — its sub-steps gate on the
+    * same structural/content signatures the Swift rule uses (heading
+    * anchor text, caption phrase sets, li>div>div image-paragraph shape),
+    * faithfully including the generic ones. Evidence: staged wikipedia-2.
     */
   private def wikipediaGovernmentPortraitCaption(articleContent: Int, ctx: Ctx): Unit = {
     val dom = ctx.dom

@@ -429,7 +429,14 @@ final class Dom(initialCapacity: Int = 256) {
     * so the builder's backing array is reused across the many per-node
     * text materializations of a document instead of regrown each call.
     */
-  private val textScratch = new java.lang.StringBuilder(4096)
+  private var textScratch = new java.lang.StringBuilder(4096)
+
+  /** Release an oversize-inflated scratch builder (called by the arena
+    * pool between documents — one giant text node must not pin a
+    * multi-MB char array per thread forever).
+    */
+  def trimScratch(): Unit =
+    if (textScratch.capacity > (1 << 20)) textScratch = new java.lang.StringBuilder(4096)
 
   def normalizedTextFused(id: Int): String = {
     val sb = textScratch

@@ -104,9 +104,9 @@ object Ann {
         var s = 0.0
         var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
-        (vid, vseq, math.sqrt(s), signBitsJvm(v, nTables, nBits).toSeq)
+        (vid, vseq, math.sqrt(s), signBitsJvm(v, nTables, nBits).toSeq, nBits)
       })
-      .toDF("vec_id", "v", "norm", "sigs")
+      .toDF("vec_id", "v", "norm", "sigs", "n_bits")
   }
 
   /** LSH-bucketed ANN for a QUERY SET against a huge candidate corpus:
@@ -233,11 +233,16 @@ object Ann {
       }
     }
     val bc = spark.sparkContext.broadcast(qIndex)
-    val scored = sigTable.select(col("vec_id"), col("v"), col("norm"), col("sigs"))
-      .as[(Long, Seq[Double], Double, Seq[Long])]
+    val scored = sigTable
+      .select(col("vec_id"), col("v"), col("norm"), col("sigs"), col("n_bits"))
+      .as[(Long, Seq[Double], Double, Seq[Long], Int)]
       .mapPartitions { it =>
         val idx = bc.value
-        it.flatMap { case (vid, vseq, vn, sigs) =>
+        it.flatMap { case (vid, vseq, vn, sigs, storedBits) =>
+          // a mismatched family silently probes wrong buckets — fail loudly
+          require(storedBits == nBits && sigs.length == nTables,
+            s"signatureTable built with (nTables=${sigs.length}, nBits=$storedBits) " +
+              s"but probed with (nTables=$nTables, nBits=$nBits)")
           var v: Array[Double] = null // materialized lazily on first hit
           val seen = new java.util.HashSet[Long]()
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

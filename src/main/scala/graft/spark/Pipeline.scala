@@ -91,7 +91,10 @@ object Pipeline {
       val oversizePermits = cfg.oversizePartitions
       val rdd = df.queryExecution.toRdd.mapPartitions { it =>
         it.map { row =>
-          val docId = row.getUTF8String(0).toString
+          // null ids flow through as null (poison-row discipline: a bad
+          // row must never NPE a task)
+          val idU = row.getUTF8String(0)
+          val docId = if (idU == null) null else idU.toString
           val arr = row.getArray(1)
           val big = arr.numElements() > oversizeSpans
           def go(): ExtractedDoc = {
@@ -138,19 +141,14 @@ object Pipeline {
     }
   }
 
-  /** Per-JVM (= per-executor) gate bounding concurrent oversize-doc
-    * extractions; created once with the first caller's permit count.
+  /** Per-JVM (= per-executor) gates bounding concurrent oversize-doc
+    * extractions, one per distinct permit count so jobs with different
+    * configs in one JVM each get the bound they asked for.
     */
-  private val oversizeGateRef =
-    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.Semaphore]()
-  private[spark] def oversizeGate(permits: Int): java.util.concurrent.Semaphore = {
-    val cur = oversizeGateRef.get()
-    if (cur != null) cur
-    else {
-      oversizeGateRef.compareAndSet(null, new java.util.concurrent.Semaphore(permits))
-      oversizeGateRef.get()
-    }
-  }
+  private val oversizeGates =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.util.concurrent.Semaphore]()
+  private[spark] def oversizeGate(permits: Int): java.util.concurrent.Semaphore =
+    oversizeGates.computeIfAbsent(permits, p => new java.util.concurrent.Semaphore(p))
 
   /** Single-pass extraction with durable lineage (S3/S4): extract → write
     * the sink ONCE (tagged with the deterministic resume [[Lineage.partKey]])

@@ -76,27 +76,24 @@ object Spans {
       nFields: Int, kindIdx: Int, textIdx: Int, refIdx: Int, offIdx: Int): String = {
     import org.apache.spark.unsafe.types.UTF8String
     val n = arr.numElements()
-    // sort span indices by offset (stable; n is small)
-    val order = new Array[Int](n)
+    // stable indirect sort of span indices by offset: pack (offset, idx)
+    // into one long and sort primitives — O(n log n) even for adversarial
+    // orderings (an insertion sort here would go quadratic on a large
+    // descending-offset doc while holding an oversize-gate permit)
+    val keys = new Array[Long](n)
+    var sorted = true
     var i = 0
-    while (i < n) { order(i) = i; i += 1 }
-    val offs = new Array[Int](n)
-    i = 0
     while (i < n) {
       val row = arr.getStruct(i, nFields)
-      offs(i) = if (row.isNullAt(offIdx)) Int.MaxValue else row.getInt(offIdx)
+      val off = if (row.isNullAt(offIdx)) Int.MaxValue else row.getInt(offIdx)
+      keys(i) = (off.toLong << 32) | i.toLong
+      if (i > 0 && (keys(i) >> 32) < (keys(i - 1) >> 32)) sorted = false
       i += 1
     }
-    // insertion sort on offsets (spans arrive ordered in practice)
-    i = 1
-    while (i < n) {
-      val oi = order(i)
-      val ki = offs(oi)
-      var j = i - 1
-      while (j >= 0 && offs(order(j)) > ki) { order(j + 1) = order(j); j -= 1 }
-      order(j + 1) = oi
-      i += 1
-    }
+    if (!sorted) java.util.Arrays.sort(keys)
+    val order = new Array[Int](n)
+    i = 0
+    while (i < n) { order(i) = keys(i).toInt; i += 1 }
     var cap = 64
     i = 0
     while (i < n) {

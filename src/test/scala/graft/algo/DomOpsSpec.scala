@@ -19,7 +19,13 @@ class DomOpsSpec extends AnyFunSuite {
     "<td>cell</td>",
     "<div>   </div>",
     "<div>a  b\t\nc<pre> x </pre>d</div>",
-    "<ul><li>one</li><li>two, three</li></ul>")
+    "<ul><li>one</li><li>two, three</li></ul>",
+    // REAL U+00A0 edge cases: leading nbsp + space (sTrim trims both, the
+    // walk must not count the collapsed space), trailing, and mid-text
+    "<div>\u00a0 advertising</div>",
+    "<div>ad \u00a0</div>",
+    "<div>a \u00a0 b</div>",
+    "<div>\u00a0\u00a0only nbsp edges\u00a0</div>")
 
   private def doms = samples.map(s => { val d = Parser.parse("<body>" + s + "</body>"); d })
 
