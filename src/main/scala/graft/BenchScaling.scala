@@ -144,6 +144,11 @@ object BenchScalingChild {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SPLIT", (1 << 20).toString))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OPENCOST", (128 << 10).toString))
+      // knob for vectorized-reader batch size experiments (512 was tried
+      // against the OnHeapColumnVector churn and measured neutral-to-worse
+      // at these row sizes — default kept)
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHROWS", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
