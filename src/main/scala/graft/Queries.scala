@@ -322,6 +322,17 @@ object Queries {
     graft.spark.Dedup.simhashDf(t(s, dir, "documents"))
       .orderBy($"doc_id")
 
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, doc_a < doc_b;
+    * the synthetic embeddings are near-orthogonal so 0.4 is the
+    * "suspiciously similar" band — max observed pair cosine is ~0.51)
+    * — the embedding-space dedup flavor with a hard oracle (exact
+    * all-pairs baseline; at corpus scale the LSH bucket self-join
+    * prefilters candidates, see [[graft.spark.Ann.cosineDupPairs]]).
+    */
+  def d10_embed_dup(s: SparkSession, dir: String): DataFrame =
+    graft.spark.Ann.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy($"doc_a", $"doc_b")
+
   /** LSH-bucketed approximate cosine top-k (the ANN scale path; rows-only —
     * recall vs the exact baseline is asserted in AnnSpec).
     */
@@ -392,6 +403,7 @@ object Queries {
     "d7_minhash_lsh_pairs" -> (d7_minhash_lsh_pairs _),
     "d8_jaccard_pairs" -> (d8_jaccard_pairs _),
     "d9_simhash" -> (d9_simhash _),
+    "d10_embed_dup" -> (d10_embed_dup _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
     "m1_media_features" -> (m1_media_features _),
@@ -518,6 +530,17 @@ object Queries {
           |  JOIN sh sa ON sa.doc_id = p.doc_a
           |  JOIN sh sb ON sb.doc_id = p.doc_b)
           |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
+    "d10_embed_dup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cosine
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "e1_cosine_topk" ->
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

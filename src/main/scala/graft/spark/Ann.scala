@@ -24,6 +24,25 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Exact embedding-cosine near-duplicate PAIRS: cosine(a, b) ≥ threshold
+    * with a < b — the embedding-space analog of exact text dedup, and the
+    * oracle-checkable baseline. The plan broadcasts one side of the self
+    * join (exact cosine is inherently all-pairs). At corpus scale this is
+    * the VERIFY stage: run the [[signatureTable]] bucket self-join first
+    * and exact-score only colliding pairs — the same candidates→verify
+    * shape as `Dedup.minhashLshPairs` → `Dedup.jaccardPairs`.
+    */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("doc_a"), col("v").as("va"))
+    val b = v.select(col("id").as("doc_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(cosine(col("va"), col("vb")), 3).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact brute-force top-k: queries broadcast, candidates scored map-side. */
   def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
