@@ -98,6 +98,14 @@ object Pipeline {
           val arr = row.getArray(1)
           val big = arr.numElements() > oversizeSpans
           def go(): ExtractedDoc = {
+            // sound early skip BEFORE assembling a giant buffer: UTF-16
+            // length ≥ utf8Bytes/3, so bytes > 3×charLimit guarantees the
+            // post-assembly char check would skip too
+            if (cfg.maxHtmlChars > 0 && big) {
+              val bytes = Spans.spanTextBytes(arr, nFields, textIdx)
+              if (bytes > 3L * cfg.maxHtmlChars)
+                return Spans.oversizeSkipped(docId, s"span_text_bytes=$bytes")
+            }
             val html = Spans.assembleHtmlFromRow(arr, nFields,
               kindIdx, textIdx, refIdx, offIdx)
             Spans.extractFromHtml(docId, html, cfg.baseUrl, opts, cfg.maxHtmlChars)

@@ -72,6 +72,25 @@ object Spans {
   private val KindEmbed = org.apache.spark.unsafe.types.UTF8String.fromString("embed")
   private val KindObject = org.apache.spark.unsafe.types.UTF8String.fromString("object")
 
+  /** Total UTF-8 text bytes of a row's spans (oversize pre-check). */
+  def spanTextBytes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      nFields: Int, textIdx: Int): Long = {
+    var total = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, nFields)
+      if (!row.isNullAt(textIdx)) total += row.getUTF8String(textIdx).numBytes
+      i += 1
+    }
+    total
+  }
+
+  /** Oversize-skip result row (shared by the pre- and post-assembly guards). */
+  def oversizeSkipped(docId: String, detail: String): ExtractedDoc =
+    ExtractedDoc(docId, Nil, null, null, null, null, null, null, null,
+      0, "oversize_skipped", detail)
+
   def assembleHtmlFromRow(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       nFields: Int, kindIdx: Int, textIdx: Int, refIdx: Int, offIdx: Int): String = {
     import org.apache.spark.unsafe.types.UTF8String
