@@ -149,6 +149,10 @@ object BenchScalingChild {
       // at these row sizes — default kept)
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHROWS", "4096"))
+      .config("spark.sql.parquet.enableVectorizedReader",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_VECTORIZED", "true"))
+      .config("spark.sql.columnVector.offheap.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OFFHEAP_VEC", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
