@@ -35,7 +35,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Shared-cost attribution: session-scoped artifacts (extracted corpus,
+    // LSH candidate table, embedding signature table) are built by whichever
+    // consumer runs first and reused by the rest — read those per-query
+    // numbers as a group, not in isolation.
+    val note = "first consumer absorbs shared artifact cost: " +
+      "{x1,x2}=extracted corpus, {d7,d8}=LSH candidates, {d10,e2}=signature table"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","shared_cost":"$note"}""")
+    Queries.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -314,43 +314,73 @@ object Queries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash fingerprints (rows-only: xxhash64 family is Spark-specific;
-    * JVM path is asserted bit-identical to the column formulation in
-    * OpsSpec).
+  /** SimHash fingerprints — portable md5-derived 60-bit family
+    * ([[graft.spark.Dedup.simhashPortableDf]]), so the full tokenize →
+    * hash → majority-vote stack replays in the DuckDB oracle (the same
+    * trick that bought d6/d7 their hard oracles). The 64-bit xxhash64
+    * variant remains as [[graft.spark.Dedup.simhashDf]] with its own
+    * JVM≡column parity spec.
     */
   def d9_simhash(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Dedup.simhashDf(t(s, dir, "documents"))
+    graft.spark.Dedup.simhashPortableDf(t(s, dir, "documents"))
       .orderBy($"doc_id")
+
+  /** Session-scoped cache of the sign-LSH signature table over the
+    * embeddings corpus: the REUSABLE artifact shared by d10 (bucketed
+    * near-dup self-join) and e2 (precomputed ANN probes) — in production
+    * it's minted once per corpus snapshot and persisted beside it.
+    * Family: 16 tables × 8 bits (d10 sub-bands on the low 3 bits).
+    */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def embSignatures(s: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
+      graft.spark.Ann.signatureTable(t(s, dir, "embeddings"), nTables = 16, nBits = 8)
+        .persist())
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, doc_a < doc_b;
     * the synthetic embeddings are near-orthogonal so 0.4 is the
-    * "suspiciously similar" band — max observed pair cosine is ~0.51)
-    * — the embedding-space dedup flavor with a hard oracle (exact
-    * all-pairs baseline; at corpus scale the LSH bucket self-join
-    * prefilters candidates, see [[graft.spark.Ann.cosineDupPairs]]).
+    * "suspiciously similar" band — max observed pair cosine is ~0.51).
+    * Registered plan is the SCALE-SAFE shape: sign-LSH bucket self-join
+    * over the shared signature table (capped, no driver collect) → exact
+    * cosine verify on colliding pairs only. The DuckDB oracle replays the
+    * same bucketing (portable sign family), so the check is
+    * rows+schema+hash despite the plan being approximate; recall vs the
+    * bounded all-pairs baseline is asserted in OpsSpec.
     */
   def d10_embed_dup(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Ann.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+    graft.spark.Ann.cosineDupPairsFromSignatures(embSignatures(s, dir),
+        threshold = 0.4, bucketBits = 3, maxBucketSize = 4096)
       .orderBy($"doc_a", $"doc_b")
 
-  /** LSH-bucketed approximate cosine top-k (the ANN scale path; rows-only —
-    * recall vs the exact baseline is asserted in AnnSpec).
+  /** LSH-bucketed approximate cosine top-k over the PRECOMPUTED signature
+    * table (the amortized regime — a one-shot inline signature pass loses
+    * to brute force below ~nTables·nBits queries, see
+    * [[graft.spark.Ann.signatureTable]]; rows-only — recall vs the exact
+    * baseline is asserted in OpsSpec).
     */
   def e2_cosine_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    graft.spark.Ann.lshCosineTopK(emb, emb.filter($"vec_id" < 5), k = 5)
+    graft.spark.Ann.lshCosineTopKPrecomputed(embSignatures(s, dir),
+        emb.filter($"vec_id" < 5), k = 5, nTables = 16, nBits = 8)
       .orderBy($"query_id", $"rk")
   }
 
-  /** Multimodal plumbing: media side-table from extraction → batched
-    * (stubbed) decode → features + content dedup. Rows-only.
+  /** Multimodal pipeline over a deterministic media side-table derived
+    * from the documents table
+    * ([[graft.spark.Multimodal.syntheticMediaFromDocs]]): batched
+    * (stubbed) decode → deterministic features. The projected columns are
+    * the decode-independent half (byte counts + content hashes), which the
+    * DuckDB oracle replays exactly; width/height/features from the stub
+    * stay spec-tested (OpsSpec). The extraction-derived media table
+    * ([[graft.spark.Multimodal.mediaTable]]) keeps its own OpsSpec
+    * coverage.
     */
   def m1_media_features(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val media = graft.spark.Multimodal.mediaTable(extractedDocs(s, dir))
+    val media = graft.spark.Multimodal.syntheticMediaFromDocs(t(s, dir, "documents"))
     graft.spark.Multimodal.extractFeatures(media)
-      .select($"doc_id", $"media_ref", $"kind", $"n_bytes", $"content_hash",
-        $"width", $"height")
+      .select($"doc_id".cast("long").as("doc_id"), $"media_ref", $"kind",
+        $"n_bytes", $"content_hash")
       .orderBy($"doc_id", $"media_ref")
   }
 
@@ -375,6 +405,28 @@ object Queries {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 5)
       .orderBy($"query_id", $"rk")
+  }
+
+  /** Release every session-scoped persisted artifact for this Spark
+    * application (extracted corpus, LSH candidate table, signature table).
+    * Verify/Bench call this when a sfDir's batch is done so persisted
+    * datasets never outlive the batch in a long-lived driver.
+    */
+  def releaseCaches(s: SparkSession): Unit = {
+    val prefix = s.sparkContext.applicationId + "|"
+    def drop(m: java.util.concurrent.ConcurrentHashMap[String, _ <: org.apache.spark.sql.Dataset[_]]): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          e.getValue.unpersist()
+          it.remove()
+        }
+      }
+    }
+    drop(extractedCache)
+    drop(lshCandCache)
+    drop(sigCache)
   }
 
   // ------------------------------------------------------------ registry
@@ -530,17 +582,47 @@ object Queries {
           |  JOIN sh sa ON sa.doc_id = p.doc_a
           |  JOIN sh sb ON sb.doc_id = p.doc_b)
           |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
-    "d10_embed_dup" ->
-      """WITH emb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |  round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cosine
-        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) >= 0.4
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d9_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, (1::BIGINT << b) AS mask,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS cnt,
+        |    count(*) AS n
+        |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN 2 * cnt >= n THEN mask ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.sig, 1152921504606846975) AS simhash
+        |FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "d10_embed_dup" -> d10BucketedOracleSql(
+      nTables = 16, bucketBits = 3, dims = 64, cap = 4096, threshold = 0.4),
+    "m1_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS x
+        |  FROM documents),
+        |refs AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id AS VARCHAR) || '-m' || CAST(i AS VARCHAR) AS media_ref,
+        |    CASE (x + i) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM m CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i)
+        |  WHERE i <= x % 4),
+        |pay AS (
+        |  SELECT doc_id, media_ref, kind,
+        |    repeat(md5(media_ref),
+        |      CAST(1 + (('0x' || substring(md5(media_ref), 1, 15))::BIGINT % 31) AS INT)) AS payload
+        |  FROM refs)
+        |SELECT doc_id, media_ref, kind,
+        |  CAST(length(payload) AS BIGINT) AS n_bytes, md5(payload) AS content_hash
+        |FROM pay ORDER BY doc_id, media_ref""".stripMargin,
     "e1_cosine_topk" ->
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -604,6 +686,55 @@ object Queries {
        |capped AS (
        |  SELECT doc_id, band, bucket FROM buckets
        |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 256)""".stripMargin
+  }
+
+  /** Literal ±1 sign vector for sign-LSH (table t, bit h) — constants come
+    * from [[graft.spark.Ann.signAt]], the single source of truth for the
+    * portable family (same pattern as the MinHash mixA/mixB literals).
+    */
+  private def signVecSql(t: Int, h: Int, dims: Int): String =
+    (0 until dims).map(j =>
+      if (graft.spark.Ann.signAt(t, h, j) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  /** DuckDB replay of the d10 bucketed plan: per-table bucket = packed sign
+    * bits of the low `bucketBits` projections (ascending-dim
+    * `list_dot_product`, IEEE-identical to the JVM loop) → capped
+    * (table, bucket) self-join → exact cosine verify on colliding pairs —
+    * mirroring [[graft.spark.Ann.cosineDupPairsFromSignatures]] exactly.
+    */
+  private def d10BucketedOracleSql(nTables: Int, bucketBits: Int, dims: Int,
+      cap: Int, threshold: Double): String = {
+    def bucketExpr(t: Int): String =
+      (0 until bucketBits).map(h =>
+        s"(CASE WHEN list_dot_product(v, ${signVecSql(t, h, dims)}) >= 0 THEN ${1L << h} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketCase = (0 until nTables).map(t =>
+      s"      WHEN $t THEN ${bucketExpr(t)}").mkString("\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |keys AS (
+       |  SELECT vec_id,
+       |    t * ${1L << bucketBits} + (CASE t
+       |$bucketCase
+       |    END) AS bkey
+       |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)),
+       |capped AS (
+       |  SELECT vec_id, bkey FROM keys
+       |  QUALIFY count(*) OVER (PARTITION BY bkey) <= $cap),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, cosine FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    round(list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 3) AS cosine
+       |  FROM pairs p
+       |  JOIN emb ea ON ea.vec_id = p.doc_a
+       |  JOIN emb eb ON eb.vec_id = p.doc_b)
+       |WHERE cosine >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */

@@ -242,11 +242,43 @@ final class Cleaner(dom: Dom, opts: Options,
     }
   }
 
-  /** Allocation-free probe: any DIRECT text child containing `needle`. */
-  private def hasDirectTextContaining(id: Int, needle: String): Boolean = {
+  /** Allocation-light probe: `needle` contained in the CONCATENATION of the
+    * direct text children (ownText semantics, pre-normalization). A match
+    * split across adjacent text runs — e.g. a comment dropped at parse time
+    * between "Str" and "eam" leaves two sibling text nodes — is still
+    * found: the scan streams across node boundaries with an n-char ring
+    * buffer instead of testing each node in isolation.
+    */
+  private[algo] def hasDirectTextContaining(id: Int, needle: String): Boolean = {
+    val n = needle.length
+    if (n == 0) return true
+    val ring = new Array[Char](n)
+    var filled = 0
+    var pos = 0
     var c = dom.firstChild(id)
     while (c != -1) {
-      if (dom.kind(c) == Dom.Text && dom.text(c).contains(needle)) return true
+      if (dom.kind(c) == Dom.Text) {
+        val s = dom.text(c)
+        var i = 0
+        while (i < s.length) {
+          ring(pos) = s.charAt(i)
+          pos += 1
+          if (pos == n) pos = 0
+          if (filled < n) filled += 1
+          if (filled == n) {
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              var j = pos + k
+              if (j >= n) j -= n
+              if (ring(j) != needle.charAt(k)) ok = false
+              k += 1
+            }
+            if (ok) return true
+          }
+          i += 1
+        }
+      }
       c = dom.nextSib(c)
     }
     false

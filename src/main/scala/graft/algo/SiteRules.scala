@@ -2217,21 +2217,46 @@ object SiteRules {
     }
   }
 
-  /** Allocation-free probe: any text node in the subtree containing the
-    * needle (ASCII-case-insensitive) — used to gate rules that would
-    * otherwise materialize large subtree text on every document. A word
-    * split across inline markup is not found; callers must pick a needle
-    * whose split is implausible.
+  /** Allocation-free probe: the needle (ASCII-case-insensitive) contained
+    * in the concatenated text-node stream of the subtree — used to gate
+    * rules that would otherwise materialize large subtree text on every
+    * document. The scan streams across text-node boundaries with an n-char
+    * ring buffer, so a word split across inline markup or around a
+    * parse-dropped comment is still found. Conservative: concatenation
+    * ignores block boundaries, so a match spanning two unrelated blocks is
+    * a (harmless) false positive — this is a gate, the guarded rule does
+    * the precise check.
     */
-  private def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
+  private[algo] def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
+    val n = needle.length
+    if (n == 0) return true
+    val low = new Array[Char](n)
+    var k0 = 0
+    while (k0 < n) { low(k0) = Character.toLowerCase(needle.charAt(k0)); k0 += 1 }
+    val ring = new Array[Char](n)
+    var filled = 0
+    var pos = 0
     var cur = root
     while (cur != -1) {
       if (dom.kind(cur) == Dom.Text) {
         val s = dom.text(cur)
-        val last = s.length - needle.length
         var i = 0
-        while (i <= last) {
-          if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+        while (i < s.length) {
+          ring(pos) = Character.toLowerCase(s.charAt(i))
+          pos += 1
+          if (pos == n) pos = 0
+          if (filled < n) filled += 1
+          if (filled == n) {
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              var j = pos + k
+              if (j >= n) j -= n
+              if (ring(j) != low(k)) ok = false
+              k += 1
+            }
+            if (ok) return true
+          }
           i += 1
         }
       }

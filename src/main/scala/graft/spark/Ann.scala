@@ -25,17 +25,23 @@ object Ann {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact embedding-cosine near-duplicate PAIRS: cosine(a, b) ≥ threshold
-    * with a < b — the embedding-space analog of exact text dedup, and the
-    * oracle-checkable baseline. The plan broadcasts one side of the self
-    * join (exact cosine is inherently all-pairs). At corpus scale this is
-    * the VERIFY stage: run the [[signatureTable]] bucket self-join first
-    * and exact-score only colliding pairs — the same candidates→verify
-    * shape as `Dedup.minhashLshPairs` → `Dedup.jaccardPairs`.
+    * with a < b — the all-pairs BASELINE for bounded tables (tests, recall
+    * measurement). The production/corpus-scale operator is
+    * [[cosineDupPairsBucketed]]: sign-LSH bucket self-join → exact verify
+    * on colliding pairs only, no driver materialization. This baseline
+    * collects the whole vector table to the driver, so it fails fast past
+    * `maxRows` instead of OOMing the driver.
     */
   def cosineDupPairs(vectors: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 200000L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val probe = vectors.limit((maxRows + 1).toInt).count()
+    require(probe <= maxRows,
+      s"cosineDupPairs is the bounded all-pairs baseline (driver-side matrix); " +
+        s"table exceeds maxRows=$maxRows — use cosineDupPairsBucketed " +
+        s"(sign-LSH bucket self-join + exact verify) for corpus-scale tables")
     // exact all-pairs: broadcast the (contractually in-memory) vector
     // matrix and stream rows against it in the typed layer — interpreted
     // Catalyst HOF dot products cost ~85 µs/pair, 400× a JVM fma loop
@@ -79,6 +85,79 @@ object Ann {
     out.toDF("doc_a", "doc_b", "cosine")
   }
 
+  /** Corpus-scale embedding-cosine near-duplicate pairs: sign-LSH bucket
+    * SELF-JOIN (candidates) → exact cosine on colliding pairs only
+    * (verify) — the same candidates→verify shape as
+    * [[Dedup.minhashLshPairs]] → [[Dedup.jaccardPairs]], with the same
+    * degenerate-bucket cap. Nothing is collected to the driver: the plan
+    * is signature scan → capped equi-self-join on (table, bucket) →
+    * distinct pairs → two equi-joins to re-attach vectors → map-side
+    * scoring. Sub-banding uses the low `bucketBits` of each stored table
+    * signature, so the candidate stage shares the persisted
+    * [[signatureTable]] artifact with the ANN query path.
+    */
+  def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,
+      nTables: Int = 16, nBits: Int = 8, bucketBits: Int = 3,
+      maxBucketSize: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineDupPairsFromSignatures(
+      signatureTable(vectors, nTables, nBits, idCol, vecCol),
+      threshold, bucketBits, maxBucketSize)
+
+  /** [[cosineDupPairsBucketed]] over a precomputed [[signatureTable]] —
+    * the registered/production form: the signature table is built once per
+    * corpus and shared between near-dup detection and ANN probes.
+    *
+    * `maxBucketSize` mirrors [[Dedup.minhashLshPairs]]: a bucket holding a
+    * large fraction of the corpus (e.g. a spam cluster of identical
+    * embeddings) is not discriminating and would make the self-join
+    * quadratic; such buckets are dropped. `bucketBits` trades bucket size
+    * against recall — raise it as the corpus grows to keep buckets
+    * bounded (recall per pair at cosine c is 1−(1−p^b)^T with
+    * p = 1−arccos(c)/π).
+    */
+  def cosineDupPairsFromSignatures(sigTable: DataFrame, threshold: Double,
+      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val spark = sigTable.sparkSession
+    import spark.implicits._
+    val mask = (1L << bucketBits) - 1
+    val keys = sigTable
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .select(col("vec_id"),
+        shiftleft(col("pos").cast("long"), bucketBits)
+          .bitwiseOR(col("col").bitwiseAND(lit(mask))).as("bkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
+    val capped = keys
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .distinct()
+    val vecs = sigTable.select(col("vec_id"), col("v"), col("norm"))
+    val joined = pairs
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")), Seq("doc_a"))
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
+    joined.mapPartitions { it =>
+      it.flatMap { case (a, b, vaSeq, na, vbSeq, nb) =>
+        val x = vaSeq.toArray
+        val y = vbSeq.toArray
+        var d = 0.0
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) { d += x(i) * y(i); i += 1 }
+        // mirror Column/DuckDB round(x, 3): HALF_UP on shortest decimal
+        val c = java.math.BigDecimal.valueOf(d / (na * nb))
+          .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (c >= threshold) Iterator.single((a, b, c)) else Iterator.empty
+      }
+    }.toDF("doc_a", "doc_b", "cosine")
+  }
+
   /** Exact brute-force top-k: queries broadcast, candidates scored map-side. */
   def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -92,39 +171,67 @@ object Ann {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
-  /** Deterministic sign-LSH signature family: bit h of table t is
-    * sign(Σ_j s(t,h,j)·v_j) with s(t,h,j) = ±1 from xxhash64 parity
-    * (seed chain hashInt(j, hashInt(t·1000+h, 42)) — the same family the
-    * round-1 Catalyst-HOF formulation used, now a single tight JVM pass
-    * per vector: the HOF version evaluated nTables×nBits interpreted
-    * `aggregate(zip_with(...))` traversals per row, ~dims×64 hash calls,
-    * and cost MORE than the brute-force scorer it was meant to beat).
+  /** Deterministic PORTABLE sign-LSH family: bit h of table t is
+    * sign(Σ_j s(t,h,j)·v_j) with s(t,h,j) = ±1 from splitmix64 parity of
+    * the (t, h, j) chain below. The constants are a pure function of the
+    * indices, so the SAME family is computable by the JVM hot path, by a
+    * Catalyst column expression, and by the generated DuckDB oracle SQL
+    * (sign vectors inlined as literals, like the MinHash mixA/mixB
+    * constants in [[Dedup]]) — which is what buys d10's bucketed plan a
+    * hard replayed oracle. One family serves every sign-LSH consumer
+    * ([[signatureTable]], [[lshCosineTopK]], [[cosineDupPairsBucketed]])
+    * so the persisted signature table is a shared artifact.
     */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** ±1 sign for (table, bit, dim) — independent of nBits/nTables so a
+    * signature's low bits are identical whether computed at nBits=8 or
+    * nBits=3 (prefix sub-banding relies on this).
+    */
+  def signAt(t: Int, h: Int, j: Int): Double =
+    if ((splitmix64(splitmix64(t.toLong * 131071L + h) + j) & 1L) == 1L) 1.0 else -1.0
+
+  /** Cached dense sign matrix for (nTables, nBits, dims): row (t*nBits+h)
+    * holds the ±1 projection vector — one multiply-add per dim in the hot
+    * path instead of two splitmix rounds.
+    */
+  private val signMatrices =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  private[spark] def signMatrix(nTables: Int, nBits: Int, dims: Int): Array[Array[Double]] =
+    signMatrices.computeIfAbsent((nTables, nBits, dims), _ =>
+      Array.tabulate(nTables * nBits) { row =>
+        val t = row / nBits
+        val h = row % nBits
+        Array.tabulate(dims)(j => signAt(t, h, j))
+      })
+
   def signBucketsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[String] = {
     val bits = signBitsJvm(vec, nTables, nBits)
     Array.tabulate(nTables)(t => t.toString + ":" + bits(t).toBinaryString)
   }
 
-  /** Bit-packed variant: table t's signature as the low `nBits` bits of a
-    * long — the persistable form ([[signatureTable]]). nBits ≤ 57.
+  /** Bit-packed signatures: table t's signature as the low `nBits` bits of
+    * a long — the persistable form ([[signatureTable]]). nBits ≤ 57.
+    * Projections sum dims in ascending order (IEEE parity with DuckDB's
+    * sequential `list_dot_product` in the replayed oracle).
     */
   def signBitsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val mat = signMatrix(nTables, nBits, vec.length)
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var sig = 0L
       var h = 0
       while (h < nBits) {
-        val seedHash = XXH64.hashInt(t * 1000 + h, 42L)
+        val signs = mat(t * nBits + h)
         var proj = 0.0
         var j = 0
-        while (j < vec.length) {
-          // pmod(x, 2) == (x & 1) in two's complement
-          val sign = if ((XXH64.hashInt(j, seedHash) & 1L) == 1L) 1.0 else -1.0
-          proj += vec(j) * sign
-          j += 1
-        }
+        while (j < vec.length) { proj += vec(j) * signs(j); j += 1 }
         if (proj >= 0) sig |= (1L << h)
         h += 1
       }

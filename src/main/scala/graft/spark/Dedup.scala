@@ -369,6 +369,85 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
+  /** PORTABLE SimHash (60-bit, md5-derived token family): per-token hash is
+    * the first 15 hex chars of md5(token) as a 60-bit int (the same base
+    * hash as [[shingleX]]), majority vote per bit across token OCCURRENCES.
+    * Same trick that bought d6/d7 their hard oracles: the md5 family
+    * replays exactly in DuckDB
+    * (`('0x'||substring(md5(t),1,15))::BIGINT`, integer shifts), unlike
+    * the Spark-specific xxhash64 family of [[simhash]]. A doc with zero
+    * tokens has every majority vote trivially satisfied (0·2 ≥ 0) →
+    * fingerprint = 2^60−1, mirrored by the oracle's COALESCE.
+    */
+  final val SimhashPortableBits = 60
+
+  /** Column formulation (parity witness for [[simhashPortableJvm]]). */
+  def simhashPortable(text: Column): Column = {
+    val tokens = filter(split(regexp_replace(lower(text), "\\s+", " "), " "), t => t =!= "")
+    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val masks = array((0 until SimhashPortableBits).map(b => lit(1L << b)): _*)
+    val n = size(hashes)
+    aggregate(
+      masks,
+      lit(0L),
+      (acc, mask) => {
+        val cnt = aggregate(hashes, lit(0),
+          (c, h) => c + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(0))
+        acc.bitwiseOR(when(cnt * 2 >= n, mask).otherwise(lit(0L)))
+      })
+  }
+
+  /** JVM hot path — bit-identical to [[simhashPortable]] (asserted in
+    * OpsSpec) in one pass per row.
+    */
+  def simhashPortableJvm(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ")
+    val counts = new Array[Int](SimhashPortableBits)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        n += 1
+        md.reset()
+        val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = bytes 0..6 + high nibble of byte 7 (same
+        // layout as bucketHashesJvm's base hash)
+        var x = 0L
+        var k = 0
+        while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+        x = (x << 4) | ((d(7) >> 4) & 0xfL)
+        var b = 0
+        while (b < SimhashPortableBits) {
+          if (((x >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < SimhashPortableBits) {
+      if (counts(b) * 2 >= n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Portable SimHash fingerprints for a whole table, typed-layer hot path. */
+  def simhashPortableDf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(requireLongId(col(idCol), "simhashPortableDf").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, simhashPortableJvm(Option(text).getOrElse("")))
+      })
+      .toDF(idCol, "simhash")
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

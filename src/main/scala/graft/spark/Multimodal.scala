@@ -50,6 +50,45 @@ object Multimodal {
     }
   }
 
+  /** Deterministic ORACLE-REPLAYABLE media side-table derived from a plain
+    * document table: each doc gets 0–3 media objects with ASCII payloads
+    * built from md5 hex chains, so DuckDB can reproduce byte counts and
+    * content hashes exactly (`repeat(md5(ref), reps)` / `md5(payload)`) —
+    * the deterministic half of the multimodal pipeline gets a hard oracle
+    * while decode features stay stubbed. Derivation (single source of
+    * truth for the JVM path and the generated oracle SQL):
+    *   x = first 15 hex chars of md5(doc_id) as 60-bit int
+    *   n_media = x % 4;  ref_i = doc_id || "-m" || i   (i = 1..n_media)
+    *   kind_i = ["image","audio","video"][(x + i) % 3]
+    *   payload_i = md5(ref_i) repeated (1 + (md5_60(ref_i) % 31)) times
+    */
+  def syntheticMediaFromDocs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id")(implicit spark: SparkSession): Dataset[MediaObject] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("string")).as[String].flatMap { idStr =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      def x60(hex: String): Long = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val x = x60(md5hex(idStr))
+      val nMedia = (x % 4).toInt
+      (1 to nMedia).map { i =>
+        val ref = idStr + "-m" + i
+        val refHex = md5hex(ref)
+        val reps = 1 + (x60(refHex) % 31).toInt
+        val payload = refHex * reps
+        val kind = ((x + i) % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaObject(idStr, ref, kind,
+          payload.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+    }
+  }
+
   /** Deterministic fake payload (stands in for fetched bytes). */
   def syntheticPayload(mediaRef: String): Array[Byte] = {
     val seed = mediaRef.hashCode.toLong & 0xffffffffL

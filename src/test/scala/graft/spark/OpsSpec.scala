@@ -159,6 +159,81 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sig.unpersist()
   }
 
+  test("simhashPortableJvm is bit-identical to the Catalyst column formulation") {
+    val s = spark
+    import s.implicits._
+    val colVals = docsDf.select($"doc_id", Dedup.simhashPortable($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jvmVals = Dedup.simhashPortableDf(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jvmVals == colVals)
+    // zero-token doc: every majority vote trivially true → 2^60 − 1
+    assert(Dedup.simhashPortableJvm("") == (1L << 60) - 1)
+    assert(Dedup.simhashPortableJvm("   ") == (1L << 60) - 1)
+  }
+
+  test("simhashPortable: near-dups have small hamming distance") {
+    val h = Dedup.simhashPortableDf(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(4L)) == 0)
+    assert(ham(h(1L), h(2L)) <= 8)
+    assert(ham(h(1L), h(3L)) > 10)
+  }
+
+  test("ann: bucketed dup pairs achieve high recall vs the all-pairs baseline, no collect, no cartesian") {
+    val s = spark
+    import s.implicits._
+    // clustered vectors: intra-cluster cosines are high, cross-cluster low
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(5)(Array.fill(32)(rng.nextFloat() * 2 - 1))
+    val vecs = (0 until 200).map { i =>
+      val c = base(i % 5)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosineDupPairs(vecs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketedDf = Ann.cosineDupPairsBucketed(vecs, threshold = 0.8,
+      nTables = 16, nBits = 8, bucketBits = 3)
+    val plan = bucketedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val bucketed = bucketedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every bucketed pair is a true pair (verify stage is exact)…
+    assert(bucketed.subsetOf(exact))
+    // …and recall is high (16 tables × 3 bits on clustered cosines)
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
+  test("ann: all-pairs baseline fails fast past its size guard") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosineDupPairs(vecs, threshold = 0.5, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("cosineDupPairsBucketed"))
+  }
+
+  test("multimodal: documents-derived media side-table is deterministic and oracle-shaped") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMediaFromDocs(docs).collect()
+    // derivation: n_media = md5_60(doc_id) % 4, payload = md5 hex repeated
+    media.foreach { m =>
+      assert(m.bytes.length % 32 == 0)
+      assert(m.bytes.length >= 32 && m.bytes.length <= 32 * 31)
+      assert(Set("image", "audio", "video").contains(m.kind))
+      assert(m.media_ref.startsWith(m.doc_id + "-m"))
+    }
+    val again = Multimodal.syntheticMediaFromDocs(docs).collect()
+    assert(media.map(m => (m.doc_id, m.media_ref, m.kind, m.bytes.toSeq)).toSet ==
+      again.map(m => (m.doc_id, m.media_ref, m.kind, m.bytes.toSeq)).toSet)
+  }
+
   test("streaming: windowed counts with watermark over MemoryStream") {
     val s = spark
     import s.implicits._

@@ -180,6 +180,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     resumed.count() // executes without driver-side blowup
   }
 
+  test("exactly-once lineage: uncommitted task output is never counted (Iceberg-contract simulation)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 16, nPartitions = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val outPath = dir + "/out"
+    try {
+      // pick a resume bucket that actually holds docs
+      val failedBucket = docs.toDF()
+        .select(Lineage.partKey(col("doc_id"), nParts).as("pk"))
+        .groupBy("pk").count().orderBy(col("pk")).collect().head.getLong(0)
+      // TableIO simulating Iceberg snapshot isolation under a failed task:
+      // one bucket's rows land in staged files that never enter the
+      // committed snapshot (an Iceberg task retry leaves orphan data
+      // files); read() sees only the committed snapshot. The lineage
+      // contract (Pipeline.extractToSink: lineage derives from io.read of
+      // the COMMITTED table, never from the extraction dataset) must count
+      // only committed rows, leaving the failed bucket resumable.
+      val io = new TableIO {
+        private val inner = new ParquetTableIO()
+        override def read(spark: SparkSession, table: String) = inner.read(spark, table)
+        override def write(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+          inner.write(df.filter(col("part_key") =!= failedBucket), table)
+          inner.write(df.filter(col("part_key") === failedBucket), table + "-uncommitted")
+        }
+        override def append(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+          write(df, table)
+      }
+      val (extracted, lineage) = Pipeline.extractToSink(docs, "run-1", outPath,
+        Pipeline.Config(nSalts = 4), nParts, io)
+      val lrows = lineage.collect()
+      val committed = spark.read.parquet(outPath).count()
+      assert(committed < 16, "test setup: failed bucket must drop rows")
+      // lineage counts EXACTLY the committed snapshot, not what extract produced
+      assert(lrows.map(_.n_docs).sum == committed)
+      assert(!lrows.map(_.part_key).contains(failedBucket))
+      assert(extracted.count() == committed)
+      // the failed bucket stays resumable: resumeFilter keeps exactly its docs
+      val remaining = Lineage.resumeFilter(docs.toDF(), lineage.toDF(), nParts)
+      assert(remaining.count() == 16 - committed)
+      val keys = remaining.select(Lineage.partKey(col("doc_id"), nParts).as("pk"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(keys == Set(failedBucket))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("TableIO parquet seam round-trips a table") {
     val s = spark
     import s.implicits._
