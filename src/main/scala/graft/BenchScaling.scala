@@ -31,7 +31,7 @@ object BenchScaling {
     // Materialize the corpus once (identical input for both runs).
     BenchScalingChild.ensureCorpus(corpusPath, nDocs, high)
 
-    def measure(cores: Int): Double = {
+    def measure(cores: Int, runMode: String = mode): Double = {
       val cp = System.getProperty("java.class.path")
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val cmd = new java.util.ArrayList[String]()
@@ -49,7 +49,7 @@ object BenchScaling {
       }
       cmd.add("-cp"); cmd.add(cp)
       cmd.add("graft.BenchScalingChild")
-      cmd.add(cores.toString); cmd.add(corpusPath); cmd.add(nDocs.toString); cmd.add(mode)
+      cmd.add(cores.toString); cmd.add(corpusPath); cmd.add(nDocs.toString); cmd.add(runMode)
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(false)
       val proc = pb.start()
@@ -75,14 +75,26 @@ object BenchScaling {
     // shared memory controller; 8→32 is kept as the host-ceiling diagnostic
     val ladders = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDERS", s"4:16,$low:$high")
       .split(",").toSeq.map { s => val p = s.split(":"); (p(0).toInt, p(1).toInt) }
+    // With SPARK_GRAFT_BENCH_WITHRAW=1, each full-pipeline measurement is
+    // immediately followed by a Spark-free raw thread-pool probe at the
+    // same level IN THE SAME HOST WINDOW: if the raw ladder shows the same
+    // efficiency cap as the pipeline ladder, the residual gap is the
+    // host's shared memory controller, not the engine or the Spark layer.
+    val withRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_WITHRAW", "0") == "1"
     val runs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Double]]()
+    val rawRuns = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Double]]()
     val levels = ladders.flatMap { case (a, b) => Seq(a, b) }.distinct
-    for (_ <- 0 until reps; lvl <- levels)
+    for (_ <- 0 until reps; lvl <- levels) {
       runs.getOrElseUpdate(lvl, new scala.collection.mutable.ArrayBuffer[Double]()) += measure(lvl)
+      if (withRaw)
+        rawRuns.getOrElseUpdate(lvl, new scala.collection.mutable.ArrayBuffer[Double]()) +=
+          measure(lvl, "raw")
+    }
 
-    def ladderJson(lo: Int, hi: Int): (Double, Double, String) = {
-      val lows = runs(lo)
-      val highs = runs(hi)
+    def ladderJson(lo: Int, hi: Int,
+        src: scala.collection.Map[Int, scala.collection.mutable.ArrayBuffer[Double]] = runs): (Double, Double, String) = {
+      val lows = src(lo)
+      val highs = src(hi)
       val ratio = hi.toDouble / lo
       val efficiency = highs.max / (ratio * lows.max)
       // paired estimates: each (low, high) pair ran back-to-back in the
@@ -105,6 +117,9 @@ object BenchScaling {
       (efficiency, pairEff, j)
     }
     val detail = ladders.map { case (lo, hi) => (lo, hi, ladderJson(lo, hi)) }
+    val rawDetail =
+      if (withRaw) ladders.map { case (lo, hi) => ladderJson(lo, hi, rawRuns)._3 }
+      else Nil
     val (headEff, headPair, _) = detail.head._3
     // session distribution: the host throttles intermittently (3× swings),
     // so alongside THIS session's numbers report best and median of the
@@ -128,7 +143,9 @@ object BenchScaling {
       s""""history_best":${f"${priorEffs.max}%.4f"},""" +
       s""""history_median":${f"$histMedian%.4f"},""" +
       s""""docs":$nDocs,"parallelism_low":${detail.head._1},"parallelism_high":${detail.head._2},""" +
-      s""""ladders":[${detail.map(_._3._3).mkString(",")}]}"""
+      s""""ladders":[${detail.map(_._3._3).mkString(",")}]""" +
+      (if (rawDetail.nonEmpty) s""","raw_ladders":[${rawDetail.mkString(",")}]""" else "") +
+      "}"
     println(json)
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/scaling_latest.json"), json + "\n")

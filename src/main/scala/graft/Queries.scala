@@ -359,9 +359,12 @@ object Queries {
     * baseline is asserted in OpsSpec).
     */
   def e2_cosine_lsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    graft.spark.Ann.lshCosineTopKPrecomputed(embSignatures(s, dir),
-        emb.filter($"vec_id" < 5), k = 5, nTables = 16, nBits = 8)
+    val sig = embSignatures(s, dir)
+    // query vectors come from the cached signature table too — no second
+    // parquet scan of the embeddings corpus for a 5-row query set
+    val queries = sig.filter($"vec_id" < 5).select($"vec_id", $"v".as("embedding"))
+    graft.spark.Ann.lshCosineTopKPrecomputed(sig, queries,
+        k = 5, nTables = 16, nBits = 8)
       .orderBy($"query_id", $"rk")
   }
 
@@ -462,6 +465,16 @@ object Queries {
     "x1_extract" -> (x1_extract _),
     "x2_extract_metrics" -> (x2_extract_metrics _),
     "x3_extract_resume" -> (x3_extract_resume _),
+  )
+
+  /** Extra plan-audit surfaces: stages whose join topology is hidden from
+    * the registered query's own physical plan by an InternalRow scorer
+    * (the plan above a `queryExecution.toRdd` shows only ExternalRDDScan).
+    */
+  val auditExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_embed_dup__candidate_stage" -> ((s, dir) =>
+      graft.spark.Ann.cosineDupPairsCandidates(embSignatures(s, dir),
+        bucketBits = 3, maxBucketSize = 4096)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -189,6 +189,45 @@ object FixtureRunner {
       }
       return
     }
+    // review mode (the `review` step of the reference CLI's
+    // fetch/parse/inspect/review/commit workflow, `CLI/Sources/main.swift`;
+    // fetch itself needs network, which this sandbox does not have — feed
+    // `mint` a saved source.html instead): re-run extraction over a STAGED
+    // fixture dir and diff against its staged expected.html/metadata.
+    if (args.headOption.contains("review")) {
+      require(args.length >= 2, "usage: FixtureRunner review <stagedDir>")
+      val dir = Paths.get(args(1))
+      val r = runOne(dir)
+      val flag = if (r.spansMatch && r.metaDiffs.isEmpty) "PASS"
+        else if (r.spansMatch) "META" else "FAIL"
+      println(f"$flag%-5s ${r.name}%-45s spans=${r.nOut}/${r.nExp}")
+      r.firstSpanDiff.foreach(d => println("  " + d.replace("\n", "\n  ")))
+      r.metaDiffs.foreach(d => println("  META " + d))
+      if (!(r.spansMatch && r.metaDiffs.isEmpty)) sys.exit(1)
+      return
+    }
+    // commit mode: promote a reviewed staged fixture into a (writable)
+    // corpus dir. The reference corpus under /root/reference is read-only
+    // by contract; commit targets a project-local corpus root.
+    if (args.headOption.contains("commit")) {
+      require(args.length >= 3, "usage: FixtureRunner commit <stagedDir> <corpusRoot>")
+      val src = Paths.get(args(1))
+      val corpusRoot = Paths.get(args(2))
+      require(!corpusRoot.toAbsolutePath.toString.startsWith("/root/reference"),
+        "the reference fixture corpus is read-only; commit to a project-local corpus root")
+      val r = runOne(src)
+      require(r.spansMatch && r.metaDiffs.isEmpty,
+        s"refusing to commit a failing fixture (spans=${r.nOut}/${r.nExp}, " +
+          s"metaDiffs=${r.metaDiffs.mkString("; ")}); run `review` and fix first")
+      val dest = corpusRoot.resolve(src.getFileName)
+      Files.createDirectories(dest)
+      Seq("source.html", "expected.html", "expected-metadata.json").foreach { f =>
+        Files.copy(src.resolve(f), dest.resolve(f),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      println(s"committed ${dest.toAbsolutePath}")
+      return
+    }
     // inspect mode: `FixtureRunner inspect <corpus> <fixture>` dumps the
     // per-phase extraction trace (candidates, promotions, sibling merge)
     if (args.headOption.contains("inspect")) {

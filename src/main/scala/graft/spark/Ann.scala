@@ -116,36 +116,63 @@ object Ann {
     * bounded (recall per pair at cosine c is 1−(1−p^b)^T with
     * p = 1−arccos(c)/π).
     */
-  def cosineDupPairsFromSignatures(sigTable: DataFrame, threshold: Double,
+  /** Candidate + vector-attach stage of [[cosineDupPairsFromSignatures]]
+    * as a DataFrame — exposed so plan audits can inspect the join topology
+    * (the registered query's own physical plan shows only the
+    * ExternalRDDScan above the InternalRow scorer).
+    */
+  def cosineDupPairsCandidates(sigTable: DataFrame,
       bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
-    val spark = sigTable.sparkSession
-    import spark.implicits._
     val mask = (1L << bucketBits) - 1
     val keys = sigTable
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"),
         shiftleft(col("pos").cast("long"), bucketBits)
           .bitwiseOR(col("col").bitwiseAND(lit(mask))).as("bkey"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
-    val capped = keys
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // degenerate-bucket cap: bucket sizes aggregate to ≤ nTables·2^bucketBits
+    // rows (map-side partial agg), so the oversize set broadcast-anti-joins
+    // back — no window sort-shuffle of the exploded key table
+    val oversized = keys.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("bkey"))
+    val capped = keys.join(broadcast(oversized), Seq("bkey"), "left_anti")
+    // candidates carry 16-byte id pairs only: the self-join and the
+    // multiplicity dedup shuffle ids, never vectors, and the corpus
+    // vectors shuffle at 1× (two equi-joins), not nTables×
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
       .distinct()
     val vecs = sigTable.select(col("vec_id"), col("v"), col("norm"))
-    val joined = pairs
+    pairs
       .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")), Seq("doc_a"))
       .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("va"), col("na"), col("vb"), col("nb"))
-      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
-    joined.mapPartitions { it =>
-      it.flatMap { case (a, b, vaSeq, na, vbSeq, nb) =>
-        val x = vaSeq.toArray
-        val y = vbSeq.toArray
+  }
+
+  def cosineDupPairsFromSignatures(sigTable: DataFrame, threshold: Double,
+      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val spark = sigTable.sparkSession
+    import spark.implicits._
+    val joined = cosineDupPairsCandidates(sigTable, bucketBits, maxBucketSize)
+    // verify below the row abstraction: candidate volume approaches n²/2
+    // when the threshold sits near the corpus's random-cosine level (LSH
+    // buckets stop discriminating), and the typed-encoder path would box
+    // 2·dims doubles per candidate — InternalRow + toDoubleArray keeps the
+    // scorer primitive (same pattern as the extraction pipeline's
+    // assemble-from-row hot path)
+    val rdd = joined.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.isNullAt(2) || row.isNullAt(4)) Iterator.empty
+        else {
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        val x = row.getArray(2).toDoubleArray()
+        val na = row.getDouble(3)
+        val y = row.getArray(4).toDoubleArray()
+        val nb = row.getDouble(5)
         var d = 0.0
         var i = 0
         val n = math.min(x.length, y.length)
@@ -154,8 +181,10 @@ object Ann {
         val c = java.math.BigDecimal.valueOf(d / (na * nb))
           .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
         if (c >= threshold) Iterator.single((a, b, c)) else Iterator.empty
+        }
       }
-    }.toDF("doc_a", "doc_b", "cosine")
+    }
+    spark.createDataset(rdd).toDF("doc_a", "doc_b", "cosine")
   }
 
   /** Exact brute-force top-k: queries broadcast, candidates scored map-side. */

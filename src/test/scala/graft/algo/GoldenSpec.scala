@@ -28,24 +28,54 @@ class GoldenSpec extends AnyFunSuite {
       "\n" + failures.map(f => s"${f.name}: ${f.metaDiffs.mkString("; ")} ${f.firstSpanDiff.getOrElse("")}").mkString("\n"))
   }
 
-  // Pass-lists: fixtures that currently pass fully; must never regress.
+  // Named pass-lists (regenerate with:
+  // sbt "runMain graft.algo.FixtureRunner <corpus>"): every fixture in both
+  // corpora currently passes fully, and the suite asserts SET EQUALITY so a
+  // simultaneous one-pass/one-fail swap (or a fixture vanishing from the
+  // corpus dir) cannot hide behind a count floor.
   private val realworldPassList = Set(
-    // regenerate with: sbt "runMain graft.algo.FixtureRunner realworld-pages"
-  )
+    "aclu", "aktualne", "archive-of-our-own", "ars-1", "bbc-1", "blogger", "breitbart",
+    "buzzfeed-1", "citylab-1", "cnet", "cnet-svg-classes", "cnn", "daringfireball-1", "dev418",
+    "dropbox-blog", "ebb-org", "ehow-1", "ehow-2", "engadget", "firefox-nightly-blog", "folha",
+    "gitlab-blog", "gmw", "google-sre-book-1", "guardian-1", "heise", "herald-sun-1",
+    "hukumusume", "iab-1", "ietf-1", "la-nacion", "lemonde-1", "liberation-1",
+    "lifehacker-post-comment-load", "lifehacker-working", "lwn-1", "medicalnewstoday",
+    "medium-1", "medium-2", "medium-3", "mercurial", "mozilla-1", "mozilla-2", "msn",
+    "nytimes-1", "nytimes-2", "nytimes-3", "nytimes-4", "nytimes-5", "pixnet", "qq",
+    "quanta-1", "royal-road", "salon-1", "seattletimes-1", "simplyfound-1", "spiceworks",
+    "telegraph", "theverge", "tmz-1", "topicseed-1", "tumblr", "v8-blog", "wapo-1", "wapo-2",
+    "webmd-1", "webmd-2", "wikia", "wikipedia", "wikipedia-2", "wikipedia-3", "wikipedia-4",
+    "wordpress", "yahoo-1", "yahoo-2", "yahoo-3", "yahoo-4", "youth")
 
-  test("realworld-pages: tracked pass rate does not regress") {
-    val results = run("realworld-pages")
-    val fullPass = results.values.count(r => r.spansMatch && r.metaDiffs.isEmpty)
-    val contentPass = results.values.count(_.spansMatch)
-    info(s"realworld-pages: $fullPass/${results.size} full, $contentPass/${results.size} content")
-    assert(fullPass >= 78, s"regression: $fullPass full passes < 78")
-    assert(contentPass >= 78, s"regression: $contentPass content passes < 78")
+  private val exPassList = Set(
+    "1a23-1", "1a23-2", "1a23-3", "antirez-1", "antirez-2", "antirez-3", "berthub",
+    "buttondown", "dfarq", "eof-hr", "fabiensanglard", "garymarcus-1", "garymarcus-2",
+    "garymarcus-3", "gilesthomas", "idiallo", "joanwestenberg", "johndcook-1", "johndcook-2",
+    "macrumors", "macscene", "mariozechner", "matklad", "maurycyz-1", "maurycyz-2",
+    "maurycyz-3", "maurycyz-4", "maurycyz-5", "raymondchen-1", "raymondchen-2", "seangoedecke",
+    "simonwillison-1", "simonwillison-2", "simonwillison-3", "simonwillison-4",
+    "simonwillison-5", "soulhacker", "tomrenner", "xeiaso-1", "xeiaso-2", "xeiaso-3",
+    "xeiaso-4", "xeiaso-5", "xkcd")
+
+  private def assertPassSet(corpus: String, expected: Set[String]): Unit = {
+    val results = run(corpus)
+    val fullPass = results.values.filter(r => r.spansMatch && r.metaDiffs.isEmpty)
+      .map(_.name).toSet
+    info(s"$corpus: ${fullPass.size}/${results.size} full pass")
+    val newlyFailing = expected -- fullPass
+    val unlisted = fullPass -- expected
+    assert(newlyFailing.isEmpty,
+      s"$corpus regressions: ${newlyFailing.toSeq.sorted.mkString(", ")}")
+    assert(unlisted.isEmpty,
+      s"$corpus fixtures passing but missing from the pass-list (add them): " +
+        unlisted.toSeq.sorted.mkString(", "))
   }
 
-  test("ex-pages: tracked pass rate does not regress") {
-    val results = run("ex-pages")
-    val fullPass = results.values.count(r => r.spansMatch && r.metaDiffs.isEmpty)
-    info(s"ex-pages: $fullPass/${results.size} full")
-    assert(fullPass >= 44, s"regression: $fullPass full passes < 44")
+  test("realworld-pages: all 78 named fixtures pass fully") {
+    assertPassSet("realworld-pages", realworldPassList)
+  }
+
+  test("ex-pages: all 44 named fixtures pass fully") {
+    assertPassSet("ex-pages", exPassList)
   }
 }

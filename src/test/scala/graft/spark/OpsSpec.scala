@@ -193,12 +193,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("vec_id", "embedding")
     val exact = Ann.cosineDupPairs(vecs, threshold = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketedDf = Ann.cosineDupPairsBucketed(vecs, threshold = 0.8,
-      nTables = 16, nBits = 8, bucketBits = 3)
-    val plan = bucketedDf.queryExecution.executedPlan.toString
+    val sig = Ann.signatureTable(vecs, nTables = 16, nBits = 8)
+    // the registered query's own plan ends at ExternalRDDScan (InternalRow
+    // scorer) — audit the candidate/join stage, where the topology lives
+    val plan = Ann.cosineDupPairsCandidates(sig, bucketBits = 3)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    val bucketed = bucketedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Ann.cosineDupPairsFromSignatures(sig, threshold = 0.8, bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     // every bucketed pair is a true pair (verify stage is exact)…
     assert(bucketed.subsetOf(exact))
