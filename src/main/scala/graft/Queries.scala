@@ -355,8 +355,10 @@ object Queries {
   /** LSH-bucketed approximate cosine top-k over the PRECOMPUTED signature
     * table (the amortized regime — a one-shot inline signature pass loses
     * to brute force below ~nTables·nBits queries, see
-    * [[graft.spark.Ann.signatureTable]]; rows-only — recall vs the exact
-    * baseline is asserted in OpsSpec).
+    * [[graft.spark.Ann.signatureTable]]). The DuckDB oracle replays the
+    * full probe (portable sign family → per-table bucket join → exact
+    * cosine → per-query top-k), so the check is rows+schema+hash; recall
+    * vs the exact baseline is additionally asserted in OpsSpec.
     */
   def e2_cosine_lsh(s: SparkSession, dir: String): DataFrame = {
     val sig = embSignatures(s, dir)
@@ -417,7 +419,8 @@ object Queries {
     */
   def releaseCaches(s: SparkSession): Unit = {
     val prefix = s.sparkContext.applicationId + "|"
-    def drop(m: java.util.concurrent.ConcurrentHashMap[String, _ <: org.apache.spark.sql.Dataset[_]]): Unit = {
+    def drop[D <: org.apache.spark.sql.Dataset[_]](
+        m: java.util.concurrent.ConcurrentHashMap[String, D]): Unit = {
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -617,6 +620,7 @@ object Queries {
         |ORDER BY d.doc_id""".stripMargin,
     "d10_embed_dup" -> d10BucketedOracleSql(
       nTables = 16, bucketBits = 3, dims = 64, cap = 4096, threshold = 0.4),
+    "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5),
     "m1_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -748,6 +752,46 @@ object Queries {
        |  JOIN emb ea ON ea.vec_id = p.doc_a
        |  JOIN emb eb ON eb.vec_id = p.doc_b)
        |WHERE cosine >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB replay of the e2 precomputed-signature ANN probe: per-table
+    * FULL nBits-bit buckets (the stored signature), query side restricted
+    * to vec_id < 5, bucket-colliding candidates deduped, exact cosine,
+    * per-query top-k with the same (cosine DESC, vec_id ASC) tiebreak —
+    * mirroring [[graft.spark.Ann.lshCosineTopKPrecomputed]] exactly.
+    */
+  private def e2LshOracleSql(nTables: Int, nBits: Int, dims: Int, k: Int): String = {
+    def bucketExpr(t: Int): String =
+      (0 until nBits).map(h =>
+        s"(CASE WHEN list_dot_product(v, ${signVecSql(t, h, dims)}) >= 0 THEN ${1L << h} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketCase = (0 until nTables).map(t =>
+      s"      WHEN $t THEN ${bucketExpr(t)}").mkString("\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |keys AS (
+       |  SELECT vec_id, t, (CASE t
+       |$bucketCase
+       |    END) AS bucket
+       |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM keys q JOIN keys c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, cand.vec_id,
+       |    round(list_dot_product(eq.v, ec.v)
+       |      / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 3) AS cosine
+       |  FROM cand
+       |  JOIN emb eq ON eq.vec_id = cand.query_id
+       |  JOIN emb ec ON ec.vec_id = cand.vec_id)
+       |SELECT query_id, vec_id, cosine, rk FROM (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
   /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */

@@ -237,6 +237,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(m => (m.doc_id, m.media_ref, m.kind, m.bytes.toSeq)).toSet)
   }
 
+  test("releaseCaches unpersists every session-scoped artifact") {
+    val s = spark
+    import s.implicits._
+    // touch the shared signature-table cache through a registered query
+    graft.Queries.all("e2_cosine_lsh")(s, "/root/testdata/sf0.001").count()
+    assert(s.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.Queries.releaseCaches(s)
+    assert(s.sparkContext.getPersistentRDDs.isEmpty,
+      s.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
+
   test("streaming: windowed counts with watermark over MemoryStream") {
     val s = spark
     import s.implicits._
