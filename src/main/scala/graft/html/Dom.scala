@@ -646,7 +646,11 @@ object Dom {
   /** Collapse runs of ASCII whitespace to single spaces and trim.
     * (U+00A0 is NOT whitespace here — matches jsoup/SwiftSoup text().)
     */
-  def normalizeWhitespace(raw: String): String = {
+  /** CharSequence-typed so a StringBuilder can be normalized directly —
+    * callers like Serialize's span flush avoid the intermediate toString
+    * copy of every text run.
+    */
+  def normalizeWhitespace(raw: CharSequence): String = {
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     var lastWs = true // leading trim
