@@ -239,11 +239,6 @@ object Ann {
         Array.tabulate(dims)(j => signAt(t, h, j))
       })
 
-  def signBucketsJvm(vec: Array[Double], nTables: Int, nBits: Int): Array[String] = {
-    val bits = signBitsJvm(vec, nTables, nBits)
-    Array.tabulate(nTables)(t => t.toString + ":" + bits(t).toBinaryString)
-  }
-
   /** Bit-packed signatures: table t's signature as the low `nBits` bits of
     * a long — the persistable form ([[signatureTable]]). nBits ≤ 57.
     * Projections sum dims in ascending order (IEEE parity with DuckDB's
