@@ -517,6 +517,6 @@ object DomOps {
     id
   }
 
-  def selectAll(dom: Dom, root: Int, sel: String): ArrayBuffer[Int] =
+  def selectAll(dom: Dom, root: Int, sel: String): Array[Int] =
     Select.select(dom, root, sel)
 }

@@ -261,11 +261,21 @@ final class Dom(initialCapacity: Int = 256) {
   @inline def isText(id: Int): Boolean = kind(id) == Text
   @inline def nameIs(id: Int, t: String): Boolean = kind(id) == Element && tag(id) == t
 
-  def childElements(id: Int): ArrayBuffer[Int] = {
-    val out = new ArrayBuffer[Int]()
+  // primitive Array[Int] results: these run inside every per-document rule
+  // loop, and ArrayBuffer[Int] boxes each element (measured allocation)
+  def childElements(id: Int): Array[Int] = {
+    var arr = new Array[Int](8)
+    var cnt = 0
     var c = firstChild(id)
-    while (c != -1) { if (kind(c) == Element) out += c; c = nextSib(c) }
-    out
+    while (c != -1) {
+      if (kind(c) == Element) {
+        if (cnt == arr.length) arr = java.util.Arrays.copyOf(arr, cnt * 2)
+        arr(cnt) = c
+        cnt += 1
+      }
+      c = nextSib(c)
+    }
+    if (cnt == arr.length) arr else java.util.Arrays.copyOf(arr, cnt)
   }
 
   def childCount(id: Int): Int = {
@@ -315,24 +325,34 @@ final class Dom(initialCapacity: Int = 256) {
   }
 
   /** Elements with given tag under root, document order. root not included. */
-  def getElementsByTag(root: Int, t: String): ArrayBuffer[Int] = {
-    val out = new ArrayBuffer[Int]()
+  def getElementsByTag(root: Int, t: String): Array[Int] = {
+    var arr = new Array[Int](16)
+    var cnt = 0
     var cur = nextInTree(root, root)
     while (cur != -1) {
-      if (kind(cur) == Element && tag(cur) == t) out += cur
+      if (kind(cur) == Element && tag(cur) == t) {
+        if (cnt == arr.length) arr = java.util.Arrays.copyOf(arr, cnt * 2)
+        arr(cnt) = cur
+        cnt += 1
+      }
       cur = nextInTree(cur, root)
     }
-    out
+    if (cnt == arr.length) arr else java.util.Arrays.copyOf(arr, cnt)
   }
 
-  def getElementsByTags(root: Int, ts: Set[String]): ArrayBuffer[Int] = {
-    val out = new ArrayBuffer[Int]()
+  def getElementsByTags(root: Int, ts: Set[String]): Array[Int] = {
+    var arr = new Array[Int](16)
+    var cnt = 0
     var cur = nextInTree(root, root)
     while (cur != -1) {
-      if (kind(cur) == Element && ts.contains(tag(cur))) out += cur
+      if (kind(cur) == Element && ts.contains(tag(cur))) {
+        if (cnt == arr.length) arr = java.util.Arrays.copyOf(arr, cnt * 2)
+        arr(cnt) = cur
+        cnt += 1
+      }
       cur = nextInTree(cur, root)
     }
-    out
+    if (cnt == arr.length) arr else java.util.Arrays.copyOf(arr, cnt)
   }
 
   /** Concatenated text of the subtree (no normalization). */

@@ -211,15 +211,22 @@ object Select {
   }
 
   /** All elements under root (root excluded) matching sel, doc order. */
-  def select(dom: Dom, root: Int, sel: String): ArrayBuffer[Int] = {
+  def select(dom: Dom, root: Int, sel: String): Array[Int] = {
     val compiled = compile(sel)
-    val out = new ArrayBuffer[Int]()
+    // primitive result: select runs inside every per-document rule loop and
+    // ArrayBuffer[Int] boxes each id (measured allocation site)
+    var arr = new Array[Int](16)
+    var n = 0
     var cur = dom.nextInTree(root, root)
     while (cur != -1) {
-      if (dom.kind(cur) == Dom.Element && matchesAny(dom, cur, compiled, root)) out += cur
+      if (dom.kind(cur) == Dom.Element && matchesAny(dom, cur, compiled, root)) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+        arr(n) = cur
+        n += 1
+      }
       cur = dom.nextInTree(cur, root)
     }
-    out
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 
   def selectFirst(dom: Dom, root: Int, sel: String): Int = {
