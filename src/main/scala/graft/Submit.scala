@@ -28,6 +28,9 @@ object Submit {
     val resume = opts.contains("resume")
     val nParts = opts.get("parts").map(_.toInt).getOrElse(graft.spark.Lineage.defaultParts)
 
+    // reuse a live session when embedded (tests, notebooks); own and stop
+    // the session only when this main created it (the spark-submit case)
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     implicit val spark: SparkSession = SparkSession.builder()
       .appName(s"graft-extract-$runId")
       .getOrCreate()
@@ -55,7 +58,7 @@ object Submit {
       org.apache.spark.sql.functions.sum("n_docs"),
       org.apache.spark.sql.functions.sum("n_errors")).collect()(0)
     println(s"[submit] run=$runId docs=${rows.get(0)} errors=${rows.get(1)} sink=$out resume=$resume")
-    spark.stop()
+    if (preexisting.isEmpty) spark.stop()
   }
 
   @annotation.tailrec

@@ -230,6 +230,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Submit entrypoint: fresh run extracts all docs; resume appends nothing") {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-submit").toString
+    val in = dir + "/corpus"
+    val out = dir + "/sink"
+    try {
+      Corpus.generate(spark, 20, nPartitions = 2).write.parquet(in)
+      // getOrCreate inside Submit.main reuses the suite's session
+      graft.Submit.main(Array("--in", in, "--out", out, "--parts", "16", "--run-id", "t1"))
+      val first = spark.read.parquet(out)
+      assert(first.count() == 20)
+      assert(first.select("doc_id").distinct().count() == 20)
+      graft.Submit.main(Array("--in", in, "--out", out, "--parts", "16",
+        "--run-id", "t2", "--resume"))
+      val second = spark.read.parquet(out)
+      assert(second.count() == 20, "resume re-extracted completed buckets")
+      assert(second.select("doc_id").distinct().count() == 20)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("TableIO parquet seam round-trips a table") {
     val s = spark
     import s.implicits._
