@@ -332,10 +332,46 @@ object Queries {
     * Family: 16 tables × 8 bits (d10 sub-bands on the low 3 bits).
     */
   private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sigCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Stored signature width of the shared table — the ceiling for any
+    * derived sub-banding width (sub-bands are low-bit prefixes).
+    */
+  private val embSigBits = 8
   private def embSignatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
-      graft.spark.Ann.signatureTable(t(s, dir, "embeddings"), nTables = 16, nBits = 8)
-        .persist())
+    sigCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, key => {
+      val df = graft.spark.Ann.signatureTable(t(s, dir, "embeddings"),
+        nTables = 16, nBits = embSigBits).persist()
+      // materialize the shared artifact once and capture the corpus
+      // cardinality — the input to the scale-aware bucket-width derivation
+      sigCountCache.put(key, df.count())
+      df
+    })
+  private def embCount(s: SparkSession, dir: String): Long = {
+    embSignatures(s, dir)
+    sigCountCache.get(s.sparkContext.applicationId + "|" + dir).longValue()
+  }
+
+  /** Sub-banding width for d10, DERIVED from the embeddings-corpus
+    * cardinality (expected bucket occupancy ≤ 512, 8× headroom under the
+    * 4096 degenerate-bucket cap) and clamped to the stored signature
+    * width. A fixed width silently collapsed recall once occupancy passed
+    * the cap — see [[graft.spark.Ann.deriveBucketBits]]. At the sandbox
+    * SFs (500–2000 vectors) this derives the minimum, 3; the value is
+    * mirrored into the generated DuckDB oracle via [[d10LastBits]].
+    */
+  private def d10BucketBits(s: SparkSession, dir: String): Int =
+    graft.spark.Ann.deriveBucketBits(embCount(s, dir),
+      targetBucketSize = d10TargetBucket, minBits = 3, maxBits = embSigBits)
+  private val d10TargetBucket = 512
+  private val d10Cap = 4096
+  private val d10Threshold = 0.4
+
+  /** Bits the most recent d10 build derived — the oracle generator reads
+    * this so the replayed SQL always matches the registered plan
+    * ([[Verify]] dumps oracle_sql.json AFTER running the queries).
+    * Initialized to the value the derivation yields at every sandbox SF.
+    */
+  private val d10LastBits = new java.util.concurrent.atomic.AtomicInteger(3)
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, doc_a < doc_b;
     * the synthetic embeddings are near-orthogonal so 0.4 is the
@@ -347,10 +383,25 @@ object Queries {
     * rows+schema+hash despite the plan being approximate; recall vs the
     * bounded all-pairs baseline is asserted in OpsSpec.
     */
-  def d10_embed_dup(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Ann.cosineDupPairsFromSignatures(embSignatures(s, dir),
-        threshold = 0.4, bucketBits = 3, maxBucketSize = 4096)
+  def d10_embed_dup(s: SparkSession, dir: String): DataFrame = {
+    val sig = embSignatures(s, dir)
+    val bits = d10BucketBits(s, dir)
+    d10LastBits.set(bits)
+    // no silent caps: report what the degenerate-bucket cap drops, every
+    // run (one cheap agg over the exploded key table of the persisted
+    // signature artifact — ≤ nTables·2^bits groups)
+    val cov = graft.spark.Ann.bucketCoverage(sig, bits, d10Cap).collect()(0)
+    val droppedFrac = cov.getAs[Double]("dropped_key_fraction")
+    println(f"[d10_embed_dup] n=${embCount(s, dir)} bucketBits=$bits cap=$d10Cap " +
+      f"buckets=${cov.getAs[Long]("n_buckets")} dropped_buckets=${cov.getAs[Long]("n_dropped_buckets")} " +
+      f"dropped_key_fraction=$droppedFrac%.4f")
+    if (droppedFrac > 0.05)
+      System.err.println(f"[d10_embed_dup] WARNING: cap drops ${droppedFrac * 100}%.1f%% of " +
+        "bucket keys — recall is degraded; raise bucketBits/targetBucketSize")
+    graft.spark.Ann.cosineDupPairsFromSignatures(sig,
+        threshold = d10Threshold, bucketBits = bits, maxBucketSize = d10Cap)
       .orderBy($"doc_a", $"doc_b")
+  }
 
   /** LSH-bucketed approximate cosine top-k over the PRECOMPUTED signature
     * table (the amortized regime — a one-shot inline signature pass loses
@@ -433,6 +484,7 @@ object Queries {
     drop(extractedCache)
     drop(lshCandCache)
     drop(sigCache)
+    sigCountCache.keySet().removeIf(_.startsWith(prefix))
   }
 
   // ------------------------------------------------------------ registry
@@ -477,10 +529,18 @@ object Queries {
   val auditExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_embed_dup__candidate_stage" -> ((s, dir) =>
       graft.spark.Ann.cosineDupPairsCandidates(embSignatures(s, dir),
-        bucketBits = 3, maxBucketSize = 4096)),
+        bucketBits = d10BucketBits(s, dir), maxBucketSize = d10Cap)),
+    "d10_embed_dup__coverage" -> ((s, dir) =>
+      graft.spark.Ann.bucketCoverage(embSignatures(s, dir),
+        d10BucketBits(s, dir), d10Cap)),
   )
 
-  val oracles: Map[String, String] = Map(
+  /** A `def`, not a `val`: the d10 entry replays whatever sub-banding
+    * width the registered query DERIVED for the corpus it just ran on
+    * ([[d10LastBits]]); [[Verify]] dumps this after running the queries,
+    * so the replayed SQL and the registered plan stay in lockstep.
+    */
+  def oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -619,7 +679,8 @@ object Queries {
         |FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "d10_embed_dup" -> d10BucketedOracleSql(
-      nTables = 16, bucketBits = 3, dims = 64, cap = 4096, threshold = 0.4),
+      nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
+      cap = d10Cap, threshold = d10Threshold),
     "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5),
     "m1_media_features" ->
       """WITH m AS (

@@ -19,6 +19,50 @@ object Ann {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Scale-aware sub-banding width for the sign-LSH bucket self-join:
+    * enough bits that the EXPECTED bucket occupancy n/2^bits stays at or
+    * under `targetBucketSize`, clamped to [minBits, maxBits]. A FIXED
+    * bucket width silently sheds recall as the corpus grows: once typical
+    * occupancy passes the degenerate-bucket cap, every bucket is dropped
+    * and the pair set collapses to empty while the job still "succeeds" —
+    * the one silent-cap failure mode this engine forbids. Callers clamp
+    * `maxBits` to the stored signature width (sub-banding uses the low
+    * bits of the stored signature, see [[cosineDupPairsFromSignatures]]).
+    */
+  def deriveBucketBits(n: Long, targetBucketSize: Int = 512,
+      minBits: Int = 3, maxBits: Int = 57): Int = {
+    require(targetBucketSize > 0 && minBits >= 1 && maxBits >= minBits,
+      s"deriveBucketBits: bad bounds (target=$targetBucketSize, min=$minBits, max=$maxBits)")
+    val needed =
+      if (n <= targetBucketSize) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / targetBucketSize)
+    math.min(math.max(needed, minBits), maxBits)
+  }
+
+  /** One coverage row for a (bucketBits, maxBucketSize) sub-banding over a
+    * [[signatureTable]] — the observability half of the degenerate-bucket
+    * cap ("no silent caps"): how many (table, bucket) keys the cap drops,
+    * and what fraction of the exploded key table that is. A run that drops
+    * a large key fraction is shedding recall and must say so; [[graft
+    * .Queries]] logs this next to every registered d10 execution and
+    * exposes it as a plan-audit surface.
+    */
+  def bucketCoverage(sigTable: DataFrame, bucketBits: Int,
+      maxBucketSize: Int): DataFrame = {
+    val sizes = bucketKeys(sigTable, bucketBits)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("bucket_n"))
+    sizes.agg(
+      lit(bucketBits).cast("long").as("bucket_bits"),
+      lit(maxBucketSize).cast("long").as("max_bucket_size"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped_buckets"),
+      sum(col("bucket_n")).as("n_keys"),
+      sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L)).as("n_dropped_keys"))
+      .withColumn("dropped_key_fraction",
+        round(col("n_dropped_keys").cast("double") /
+          greatest(col("n_keys").cast("double"), lit(1.0)), 4))
+  }
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -66,9 +110,9 @@ object Ann {
         val vn = math.sqrt(nv)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var j = 0
-        while (j < mat.length) {
+        while (j < mat.length && vn > 0.0) {
           val (oid, ov, on) = mat(j)
-          if (oid > id) {
+          if (oid > id && on > 0.0) {
             var d = 0.0
             var k = 0
             val n = math.min(v.length, ov.length)
@@ -121,14 +165,21 @@ object Ann {
     * (the registered query's own physical plan shows only the
     * ExternalRDDScan above the InternalRow scorer).
     */
-  def cosineDupPairsCandidates(sigTable: DataFrame,
-      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+  /** Exploded (vec_id, bkey) table: one row per (vector, LSH table), key =
+    * table id ∥ low `bucketBits` of the stored signature.
+    */
+  private def bucketKeys(sigTable: DataFrame, bucketBits: Int): DataFrame = {
     val mask = (1L << bucketBits) - 1
-    val keys = sigTable
+    sigTable
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"),
         shiftleft(col("pos").cast("long"), bucketBits)
           .bitwiseOR(col("col").bitwiseAND(lit(mask))).as("bkey"))
+  }
+
+  def cosineDupPairsCandidates(sigTable: DataFrame,
+      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val keys = bucketKeys(sigTable, bucketBits)
     // degenerate-bucket cap: bucket sizes aggregate to ≤ nTables·2^bucketBits
     // rows (map-side partial agg), so the oversize set broadcast-anti-joins
     // back — no window sort-shuffle of the exploded key table
@@ -173,6 +224,14 @@ object Ann {
         val na = row.getDouble(3)
         val y = row.getArray(4).toDoubleArray()
         val nb = row.getDouble(5)
+        // zero-norm embeddings (failed upstream embedding rows) have no
+        // defined cosine — and all share the all-ones sign signature, so
+        // any two of them collide in EVERY table. Emit nothing, matching
+        // the oracle (DuckDB's 0/0 division yields NULL, filtered by the
+        // threshold predicate); BigDecimal.valueOf(NaN) would instead
+        // throw and fail the whole job.
+        if (na == 0.0 || nb == 0.0) Iterator.empty
+        else {
         var d = 0.0
         var i = 0
         val n = math.min(x.length, y.length)
@@ -181,6 +240,7 @@ object Ann {
         val c = java.math.BigDecimal.valueOf(d / (na * nb))
           .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
         if (c >= threshold) Iterator.single((a, b, c)) else Iterator.empty
+        }
         }
       }
     }
@@ -330,7 +390,10 @@ object Ann {
     val qRows = queries.select(Dedup.requireLongId(col(idCol), "lshCosineTopK"), asDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect()
     val qIndex = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Double], Double)]]()
-    qRows.foreach { case (qid, qv) =>
+    // zero-norm queries have no defined cosine against anything: leave
+    // them out of the index (they return no rows) instead of producing
+    // NaN scores downstream
+    qRows.withFilter { case (_, qv) => qv.exists(_ != 0.0) }.foreach { case (qid, qv) =>
       val arr = qv.toArray
       val nrm = math.sqrt(dotJvm(arr, arr))
       val bits = signBitsJvm(arr, nTables, nBits)
@@ -357,7 +420,8 @@ object Ann {
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           val buckets = signBitsJvm(v, nTables, nBits)
           var bi = 0
-          while (bi < buckets.length) {
+          // vn == 0 → no defined cosine: emit nothing for this candidate
+          while (vn > 0.0 && bi < buckets.length) {
             val hits = idx.get(java.lang.Long.valueOf(bucketKey(bi, buckets(bi), nBits)))
             if (hits != null) {
               var qi = 0
@@ -405,7 +469,8 @@ object Ann {
         asDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect()
     val qIndex = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Double], Double)]]()
-    qRows.foreach { case (qid, qv) =>
+    // zero-norm queries: no defined cosine — leave them out of the index
+    qRows.withFilter { case (_, qv) => qv.exists(_ != 0.0) }.foreach { case (qid, qv) =>
       val arr = qv.toArray
       val nrm = math.sqrt(dotJvm(arr, arr))
       val bits = signBitsJvm(arr, nTables, nBits)
@@ -433,7 +498,8 @@ object Ann {
           val seen = new java.util.HashSet[Long]()
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           var t = 0
-          while (t < sigs.length) {
+          // vn == 0 → no defined cosine: emit nothing for this candidate
+          while (vn > 0.0 && t < sigs.length) {
             val hits = idx.get(java.lang.Long.valueOf(bucketKey(t, sigs(t), nBits)))
             if (hits != null) {
               var qi = 0

@@ -210,6 +210,96 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall=$recall (${bucketed.size}/${exact.size})")
   }
 
+  test("ann: deriveBucketBits keeps expected occupancy at or under target, clamped") {
+    import Ann.deriveBucketBits
+    // n ≤ target → minimum width
+    assert(deriveBucketBits(0, 512) == 3)
+    assert(deriveBucketBits(512, 512) == 3)
+    // past the cap-collapse point the width grows: occupancy n/2^bits ≤ target
+    for (n <- Seq(5000L, 33000L, 1000000L, 1000000000L)) {
+      val bits = deriveBucketBits(n, 512, minBits = 3, maxBits = 57)
+      assert(n.toDouble / (1L << bits) <= 512.0, s"n=$n bits=$bits")
+      assert(bits == 3 || n.toDouble / (1L << (bits - 1)) > 512.0, s"n=$n bits=$bits not minimal")
+    }
+    // clamped to the stored signature width
+    assert(deriveBucketBits(1L << 40, 1, minBits = 3, maxBits = 8) == 8)
+  }
+
+  test("ann: zero-norm embeddings are skipped, not NaN-crashed (dup pairs + topk probe)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val base = Array.fill(32)(rng.nextFloat() * 2 - 1)
+    val normal = (0 until 30).map(i =>
+      (i.toLong, base.map(x => x + (rng.nextFloat() - 0.5f) * 0.1f).toSeq))
+    // two zero vectors: they share the all-ones sign signature, so they
+    // ALWAYS collide in every table — the guaranteed pre-fix crash pair
+    val vecs = (normal ++ Seq((100L, Seq.fill(32)(0.0f)), (101L, Seq.fill(32)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val sig = Ann.signatureTable(vecs, nTables = 8, nBits = 8)
+    val pairs = Ann.cosineDupPairsFromSignatures(sig, threshold = 0.0, bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L },
+      s"zero-norm vector leaked into pairs: ${pairs.filter(p => p._1 >= 100 || p._2 >= 100).mkString(",")}")
+    // all-pairs baseline: same skip semantics
+    val exact = Ann.cosineDupPairs(vecs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.forall { case (a, b) => a < 100L && b < 100L })
+    // topk probes: zero-norm query returns no rows; zero-norm candidate never ranks
+    val queries = vecs.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    for (df <- Seq(
+        Ann.lshCosineTopKPrecomputed(sig, queries, 5, nTables = 8, nBits = 8),
+        Ann.lshCosineTopK(vecs, queries, 5, nTables = 8, nBits = 8))) {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty && rows.forall(_._1 == 0L), s"zero-norm query leaked: ${rows.mkString(",")}")
+      assert(rows.forall(_._2 < 100L), s"zero-norm candidate leaked: ${rows.mkString(",")}")
+    }
+  }
+
+  test("ann: derived bucket bits keep recall high where fixed bits=3 collapses under the cap") {
+    val s = spark
+    import s.implicits._
+    // mixture corpus: uniform background + small tight clusters of true
+    // near-dups — the shape where a fixed sub-banding width dies: once
+    // background occupancy n/2^bits passes the degenerate-bucket cap,
+    // EVERY bucket is dropped and the pair set silently collapses
+    val rng = new scala.util.Random(19)
+    val clusters = Array.fill(5)(Array.fill(32)(rng.nextFloat() * 2 - 1))
+    val members = (0 until 100).map { i =>
+      val c = clusters(i % 5)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.15f).toSeq)
+    }
+    val background = (100 until 2000).map(i =>
+      (i.toLong, Seq.fill(32)(rng.nextFloat() * 2 - 1)))
+    val vecs = (members ++ background).toDF("vec_id", "embedding")
+    val n = 2000L
+    val cap = 128
+    val exact = Ann.cosineDupPairs(vecs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 500, s"test setup: expected many intra-cluster pairs, got ${exact.size}")
+    val sig = Ann.signatureTable(vecs, nTables = 16, nBits = 8).persist()
+    try {
+      // fixed bits=3: expected occupancy 2000/8 = 250 > cap → everything dropped
+      val fixedCov = Ann.bucketCoverage(sig, 3, cap).collect()(0)
+      assert(fixedCov.getAs[Double]("dropped_key_fraction") == 1.0, fixedCov.toString)
+      val fixed = Ann.cosineDupPairsFromSignatures(sig, threshold = 0.8,
+        bucketBits = 3, maxBucketSize = cap).count()
+      assert(fixed == 0, s"expected total collapse at fixed bits, got $fixed pairs")
+      // derived bits: occupancy back under the cap → recall restored
+      val bits = Ann.deriveBucketBits(n, targetBucketSize = 64, minBits = 3, maxBits = 8)
+      assert(bits == 5, s"derived $bits")
+      val derivedCov = Ann.bucketCoverage(sig, bits, cap).collect()(0)
+      assert(derivedCov.getAs[Double]("dropped_key_fraction") < 0.05, derivedCov.toString)
+      val derived = Ann.cosineDupPairsFromSignatures(sig, threshold = 0.8,
+        bucketBits = bits, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(derived.subsetOf(exact))
+      val recall = derived.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall (${derived.size}/${exact.size})")
+    } finally sig.unpersist()
+  }
+
   test("ann: all-pairs baseline fails fast past its size guard") {
     val s = spark
     import s.implicits._
