@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   *     --in <corpus table/path> --out <sink table/path> \
   *     [--run-id <id>] [--resume] [--parts <n>] [--catalog]
   *
-  * `--resume` re-derives the done-set from the sink's committed lineage and
-  * appends only the remaining part_key buckets (whole-bucket contract, see
-  * [[graft.spark.Lineage]]). `--catalog` routes I/O through catalog tables
+  * `--resume` derives the done-set from the persisted lineage sidecar
+  * beside the sink (O(nParts) restart; validated against the sink's
+  * metadata row count, with a committed-output-scan fallback — see
+  * [[graft.spark.Lineage.doneSet]]) and appends only the remaining
+  * part_key buckets (whole-bucket contract, see [[graft.spark.Lineage]]). `--catalog` routes I/O through catalog tables
   * (Iceberg in production) instead of parquet paths; nothing else changes —
   * that is the [[graft.spark.TableIO]] seam. No master/shuffle settings are
   * hardcoded here: spark-submit supplies them per cluster.
@@ -42,12 +44,12 @@ object Submit {
     val corpus = io.read(spark, in)
     val docs0 =
       if (resume) {
-        // done-set = part_keys present in the committed sink's lineage
-        val committed = scala.util.Try(io.read(spark, out)).toOption
-        committed match {
-          case Some(prev) if prev.columns.contains("part_key") =>
-            graft.spark.Lineage.resumeFilter(corpus, prev.select("part_key").distinct(), nParts)
-          case _ => corpus
+        // done-set from the persisted lineage sidecar (O(nParts) restart;
+        // validated against the sink's metadata row count, falling back to
+        // the committed-output scan when stale/absent — Lineage.doneSet)
+        graft.spark.Lineage.doneSet(io, spark, out) match {
+          case Some(done) => graft.spark.Lineage.resumeFilter(corpus, done, nParts)
+          case None => corpus
         }
       } else corpus
 

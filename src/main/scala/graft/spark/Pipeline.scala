@@ -52,6 +52,17 @@ object Pipeline {
       /** full salted shuffle instead of scan-aligned + oversize split */
       saltedShuffle: Boolean = false)
 
+  /** Observability for the skew path: how many docs took the oversize
+    * route and how long they waited on the per-executor gate. Spark
+    * accumulators (named — visible in the UI's stage metrics), populated
+    * once an action runs the plan. Standard accumulator caveat applies:
+    * task RETRIES can double-count, so these are operational metrics, not
+    * exactly-once bookkeeping (that is [[Lineage]]'s job).
+    */
+  final case class ExtractStats(
+      nOversize: org.apache.spark.util.LongAccumulator,
+      gateWaitMs: org.apache.spark.util.LongAccumulator)
+
   /** Extraction plan (scan-aligned by default):
     *
     *   - ONE scan of the corpus, map-only — no shuffle, no second pass
@@ -64,9 +75,21 @@ object Pipeline {
     *     filter/union design bought the same bound with a full second
     *     corpus scan)
     */
-  def extract(docs: Dataset[Doc], cfg: Config = Config())(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+  def extract(docs: Dataset[Doc], cfg: Config = Config())(implicit spark: SparkSession): Dataset[ExtractedDoc] =
+    extractWithStats(docs, cfg)._1
+
+  /** [[extract]] plus the oversize-gate [[ExtractStats]] — the skew story
+    * must be observable, not just present: a corpus whose giant tail
+    * saturates the gate shows up as gate-wait time here long before it
+    * shows up as a straggling stage.
+    */
+  def extractWithStats(docs: Dataset[Doc], cfg: Config = Config())(
+      implicit spark: SparkSession): (Dataset[ExtractedDoc], ExtractStats) = {
     import spark.implicits._
     val opts = graft.algo.Options(charThreshold = cfg.charThreshold)
+    val stats = ExtractStats(
+      spark.sparkContext.longAccumulator("graft.extract.oversize_docs"),
+      spark.sparkContext.longAccumulator("graft.extract.gate_wait_ms"))
 
     /** Decode + assemble + extract in one pass over the scan's InternalRows:
       * span text bytes are appended to ONE UTF-8 buffer and decoded to a
@@ -118,8 +141,11 @@ object Pipeline {
             // `oversizePartitions` giants are in flight per JVM — the
             // earlier filter/union design paid a full second scan of the
             // corpus for the same bound
+            stats.nOversize.add(1)
             val gate = Pipeline.oversizeGate(oversizePermits)
+            val t0 = System.nanoTime()
             gate.acquire()
+            stats.gateWaitMs.add((System.nanoTime() - t0) / 1000000L)
             try go() finally gate.release()
           }
         }
@@ -138,14 +164,16 @@ object Pipeline {
             .otherwise(pmod(xxhash64(col("_1")), lit(cfg.nSalts))))
         .repartition(col("salt"))
         .select(col("_1"), col("_2")).as[(String, String)]
-      salted.mapPartitions { it =>
+      val ds = salted.mapPartitions { it =>
         it.map { case (id, html) =>
+          if (html != null && html.length > cfg.oversizeBytes) stats.nOversize.add(1)
           Spans.extractFromHtml(id, html, cfg.baseUrl, opts, cfg.maxHtmlChars)
         }
       }
+      (ds, stats)
     } else {
       // single scan, map-only; oversize docs are gated inside the map
-      run(docs)
+      (run(docs), stats)
     }
   }
 
@@ -186,12 +214,23 @@ object Pipeline {
       io: TableIO = TableIO.parquet, resume: Boolean = false)(
       implicit spark: SparkSession): (Dataset[ExtractedDoc], Dataset[LineageRow]) = {
     import spark.implicits._
-    val out = extract(docs, cfg)
-      .withColumn("part_key", Lineage.partKey(col("doc_id"), nParts))
+    val (exDs, stats) = extractWithStats(docs, cfg)
+    val out = exDs.withColumn("part_key", Lineage.partKey(col("doc_id"), nParts))
     if (resume) io.append(out, outPath) else io.write(out, outPath)
+    // the sink write is the action that ran the plan → gate stats are live
+    println(s"[extract] run=$runId oversize_docs=${stats.nOversize.value} " +
+      s"gate_wait_ms=${stats.gateWaitMs.value}")
     val written = io.read(spark, outPath)
     val extracted = written.drop("part_key").as[ExtractedDoc]
-    (extracted, Lineage.fromOutput(written, runId))
+    // persist the (≤ nParts rows) lineage BESIDE the sink: a restart then
+    // derives its done-set from this sidecar in O(nParts)
+    // ([[Lineage.doneSet]]) instead of re-scanning the committed output,
+    // which at corpus scale is itself tens of TB. Always a full overwrite:
+    // lineage derives from the whole committed table, so a resumed run's
+    // sidecar covers the union of every run so far.
+    val sidecar = io.sidecar(outPath, "lineage")
+    io.write(Lineage.fromOutput(written, runId).toDF(), sidecar)
+    (extracted, io.read(spark, sidecar).as[LineageRow])
   }
 
   /** Extraction quality metrics: one row per status with counts and text
@@ -250,6 +289,35 @@ object Lineage {
       .select(lit(runId).as("run_id"), col("part_key"), col("n_docs"),
         col("n_errors"), col("sum_text_length"), col("max_doc_id"))
       .as[LineageRow]
+  }
+
+  /** Done-set for a restart: the part_keys committed by previous runs.
+    *
+    * Prefers the persisted lineage SIDECAR (≤ nParts rows — restart cost
+    * O(nParts) instead of a scan of the tens-of-TB output table), but the
+    * sidecar is a CACHE of the committed output, written non-atomically
+    * after the sink commit: a crash in that window leaves it stale, and a
+    * resume trusting a stale sidecar would re-extract already-committed
+    * buckets and APPEND duplicates. So the sidecar is validated first with
+    * a metadata-only probe — its sum(n_docs) must equal the sink's row
+    * count ([[TableIO.countRows]]: parquet footers / Iceberg snapshot
+    * summary, no data scan) — and on any mismatch (or no sidecar: older
+    * sinks) the done-set falls back to the always-consistent output scan.
+    * None = nothing committed yet (fresh run).
+    */
+  def doneSet(io: TableIO, spark: SparkSession, outPath: String): Option[DataFrame] = {
+    val validated = scala.util.Try(io.read(spark, io.sidecar(outPath, "lineage"))).toOption
+      .filter(sc => sc.columns.contains("part_key") && sc.columns.contains("n_docs"))
+      .filter { sc =>
+        val total = sc.agg(sum(col("n_docs"))).collect()(0)
+        val sidecarDocs = if (total.isNullAt(0)) 0L else total.getLong(0)
+        scala.util.Try(io.countRows(spark, outPath)).toOption.contains(sidecarDocs)
+      }
+    validated.map(_.select(col("part_key")))
+      .orElse(
+        scala.util.Try(io.read(spark, outPath)).toOption
+          .filter(_.columns.contains("part_key"))
+          .map(_.select(col("part_key")).distinct()))
   }
 
   /** Resume: drop docs whose part_key completed in a previous run.

@@ -25,6 +25,20 @@ trait TableIO {
     * prior run must survive — see [[Pipeline.extractToSink]]).
     */
   def append(df: DataFrame, table: String): Unit
+  /** Name of a small sidecar table stored logically beside `table` (the
+    * persisted lineage, [[Pipeline.extractToSink]]). Catalog identifiers
+    * get a `_suffix` sibling table; the parquet implementation nests an
+    * underscore-prefixed subdirectory, which Spark's file listing skips
+    * when scanning the parent, so the sidecar travels with the sink.
+    */
+  def sidecar(table: String, suffix: String): String = table + "_" + suffix
+  /** Row count WITHOUT a data scan — the consistency probe for
+    * sidecar-vs-sink validation ([[Lineage.doneSet]]). On parquet a
+    * count(*) is answered from row-group footers (no column data read);
+    * on Iceberg it is O(1) from the snapshot summary's total-records.
+    */
+  def countRows(spark: SparkSession, table: String): Long =
+    read(spark, table).count()
 }
 
 /** Parquet-backed implementation: table name = directory path. */
@@ -40,6 +54,9 @@ final class ParquetTableIO(root: String = "") extends TableIO {
 
   override def append(df: DataFrame, table: String): Unit =
     df.write.mode("append").parquet(path(table))
+
+  override def sidecar(table: String, suffix: String): String =
+    table + "/_" + suffix
 }
 
 /** Catalog-backed implementation for production (Iceberg/Hive): table
@@ -51,10 +68,29 @@ final class CatalogTableIO extends TableIO {
     spark.read.table(table)
 
   override def write(df: DataFrame, table: String): Unit =
-    df.writeTo(table).createOrReplace()
+    try df.writeTo(table).createOrReplace()
+    catch {
+      // atomic REPLACE TABLE AS SELECT needs a catalog that supports it
+      // (Iceberg does — that's the production path); the stock session
+      // catalog does not, so fall back to non-atomic drop + create there
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getCondition).startsWith("UNSUPPORTED_FEATURE") =>
+        df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+        df.writeTo(table).create()
+    }
 
   override def append(df: DataFrame, table: String): Unit =
-    df.writeTo(table).append()
+    try df.writeTo(table).append()
+    catch {
+      // V2 AppendData requires a V2 table; the stock session catalog hands
+      // back v1 parquet tables (_LEGACY_ERROR_TEMP_1012 "Cannot write into
+      // v1 table"), where the V1 writer's append is the supported path.
+      // Iceberg tables are V2, so production appends stay on writeTo.
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getCondition).startsWith("UNSUPPORTED_FEATURE") ||
+            e.getCondition == "_LEGACY_ERROR_TEMP_1012" =>
+        df.write.mode("append").saveAsTable(table)
+    }
 }
 
 object TableIO {

@@ -180,6 +180,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     resumed.count() // executes without driver-side blowup
   }
 
+  test("resume derives its done-set from the lineage sidecar, not an output scan; stale sidecar falls back") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 16, nPartitions = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-sidecar").toString + "/sink"
+    val reads = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    var metaProbes = 0
+    val io: TableIO = new TableIO {
+      private val inner = new ParquetTableIO()
+      override def read(sp: SparkSession, table: String) = { reads(table) += 1; inner.read(sp, table) }
+      override def write(df: org.apache.spark.sql.DataFrame, table: String): Unit = inner.write(df, table)
+      override def append(df: org.apache.spark.sql.DataFrame, table: String): Unit = inner.append(df, table)
+      override def sidecar(table: String, suffix: String) = inner.sidecar(table, suffix)
+      override def countRows(sp: SparkSession, table: String) = { metaProbes += 1; inner.countRows(sp, table) }
+    }
+    try {
+      val (_, lineage) = Pipeline.extractToSink(docs, "run-1", out,
+        Pipeline.Config(nSalts = 4), nParts, io)
+      val expectedKeys = lineage.collect().map(_.part_key).toSet
+      // sidecar landed beside the sink and is skipped by the sink's own scan
+      assert(spark.read.parquet(out + "/_lineage").count() == expectedKeys.size)
+      assert(spark.read.parquet(out).columns.contains("doc_id"))
+      reads.clear(); metaProbes = 0
+      // happy path: done-set = sidecar only — ZERO reads of the output
+      // table, one metadata row-count probe
+      val done = Lineage.doneSet(io, spark, out).get
+      val keys = done.collect().map(_.getLong(0)).toSet
+      assert(keys == expectedKeys)
+      assert(reads(out) == 0, s"resume scanned the output table: $reads")
+      assert(reads(out + "/_lineage") == 1, reads.toString)
+      assert(metaProbes == 1)
+      // stale sidecar (crash between sink append and sidecar overwrite):
+      // append committed rows BEHIND the sidecar's back → count mismatch →
+      // doneSet must distrust the sidecar and fall back to the output scan
+      val extra = spark.read.parquet(out).limit(2)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(col("doc_id"), org.apache.spark.sql.functions.lit("-dup")))
+      new ParquetTableIO().append(extra, out)
+      reads.clear()
+      val done2 = Lineage.doneSet(io, spark, out).get
+      assert(reads(out) == 1, s"stale sidecar not detected: $reads")
+      assert(done2.collect().map(_.getLong(0)).toSet ==
+        spark.read.parquet(out).select("part_key").distinct().collect().map(_.getLong(0)).toSet)
+      // no sidecar at all (older sink): fallback to the output scan
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out + "/_lineage"))
+      val done3 = Lineage.doneSet(io, spark, out)
+      assert(done3.isDefined && done3.get.collect().nonEmpty)
+      // nothing committed at all: fresh run
+      assert(Lineage.doneSet(io, spark, out + "-nonexistent").isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out).getParentFile)
+    }
+  }
+
   test("exactly-once lineage: uncommitted task output is never counted (Iceberg-contract simulation)") {
     implicit val s: SparkSession = spark
     import s.implicits._
@@ -249,6 +305,61 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(second.select("doc_id").distinct().count() == 20)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("oversize-gate stats: accumulators count gated giants and their wait time") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    // a quarter of the corpus is giant → the gate must engage, and the
+    // accumulators must agree exactly with the corpus's own span counts
+    val docs = Corpus.generate(spark, 24, seed = 7L, oversizeFraction = 0.25, nPartitions = 4)
+    val threshold = 64
+    val expected = docs.toDF().filter(size(col("spans")) > threshold).count()
+    assert(expected > 0, "test setup: need giants in the corpus")
+    val (out, stats) = Pipeline.extractWithStats(docs,
+      Pipeline.Config(oversizeSpans = threshold, oversizePartitions = 1))
+    assert(stats.nOversize.value == 0, "stats must be lazy until an action runs")
+    assert(out.count() == 24)
+    assert(stats.nOversize.value == expected,
+      s"gated ${stats.nOversize.value}, corpus has $expected giants")
+    assert(stats.gateWaitMs.value >= 0)
+  }
+
+  test("CatalogTableIO contract: extractToSink + sidecar resume through the session catalog") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 12, nPartitions = 2)
+    val io = new CatalogTableIO
+    val tbl = "graft_cat_sink"
+    try {
+      // fresh run: sink + lineage sidecar land as catalog tables
+      val firstHalf = docs.toDF().filter(Lineage.partKey(col("doc_id"), nParts) < 4).as[Doc]
+      val (_, lineage1) = Pipeline.extractToSink(firstHalf, "run-1", tbl,
+        Pipeline.Config(nSalts = 4), nParts, io)
+      val n1 = spark.table(tbl).count()
+      assert(n1 == firstHalf.count())
+      assert(spark.catalog.tableExists(io.sidecar(tbl, "lineage")))
+      assert(lineage1.collect().map(_.n_docs).sum == n1)
+      // resume: done-set from the catalog sidecar, append the rest
+      val done = Lineage.doneSet(io, spark, tbl)
+      assert(done.isDefined)
+      val remaining = Lineage.resumeFilter(docs.toDF(), done.get, nParts).as[Doc]
+      val (_, lineage2) = Pipeline.extractToSink(remaining, "run-2", tbl,
+        Pipeline.Config(nSalts = 4), nParts, io, resume = true)
+      assert(spark.table(tbl).count() == 12)
+      assert(spark.table(tbl).select("doc_id").distinct().count() == 12)
+      assert(lineage2.collect().map(_.n_docs).sum == 12)
+      // second resume appends nothing (all buckets done)
+      val done2 = Lineage.doneSet(io, spark, tbl).get
+      val rem2 = Lineage.resumeFilter(docs.toDF(), done2, nParts)
+      assert(rem2.count() == 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${io.sidecar(tbl, "lineage")}")
     }
   }
 
