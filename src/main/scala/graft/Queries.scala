@@ -205,7 +205,7 @@ object Queries {
       .select(
         $"doc_id",
         length($"text").cast("long").as("n_chars_actual"),
-        size(filter(split(trim($"text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+        size(filter(split(trim($"text"), graft.spark.Dedup.WsPattern), x => x =!= "")).cast("long").as("n_tokens"))
       .orderBy($"doc_id")
 
   /** Quality scoring: length, punctuation density, digit density,
@@ -217,7 +217,9 @@ object Queries {
     val nChars = length(txt).cast("double")
     val punct = length(regexp_replace(txt, "[^.,!?;:]", "")).cast("double")
     val digits = length(regexp_replace(txt, "[^0-9]", "")).cast("double")
-    val nTokens = size(filter(split(trim(txt), "\\s+"), x => x =!= "")).cast("double")
+    // token split / whitespace collapse use the RE2-compatible class shared
+    // with the oracle's \s (see Dedup.WsPattern: Java \s ⊃ DuckDB \s)
+    val nTokens = size(filter(split(trim(txt), graft.spark.Dedup.WsPattern), x => x =!= "")).cast("double")
     t(s, dir, "documents")
       .select(
         $"doc_id",
@@ -260,7 +262,7 @@ object Queries {
     t(s, dir, "documents")
       .select(
         $"doc_id",
-        md5(regexp_replace(lower($"text"), "\\s+", " ")).as("norm_fingerprint"))
+        md5(regexp_replace(lower($"text"), graft.spark.Dedup.WsPattern, " ")).as("norm_fingerprint"))
       .orderBy($"doc_id")
 
   /** MinHash signatures (derived md5 family, [[graft.spark.Dedup.mixA]] —

@@ -213,7 +213,13 @@ object FixtureRunner {
       require(args.length >= 3, "usage: FixtureRunner commit <stagedDir> <corpusRoot>")
       val src = Paths.get(args(1))
       val corpusRoot = Paths.get(args(2))
-      require(!corpusRoot.toAbsolutePath.toString.startsWith("/root/reference"),
+      // compare NORMALIZED real paths: a `..` segment or a symlink into the
+      // reference tree must not slip past the read-only guard
+      val resolvedRoot = {
+        val p = corpusRoot.toAbsolutePath.normalize()
+        try p.toRealPath() catch { case _: java.io.IOException => p }
+      }
+      require(!resolvedRoot.startsWith(Paths.get("/root/reference")),
         "the reference fixture corpus is read-only; commit to a project-local corpus root")
       val r = runOne(src)
       require(r.spansMatch && r.metaDiffs.isEmpty,

@@ -2222,10 +2222,13 @@ object SiteRules {
     * rules that would otherwise materialize large subtree text on every
     * document. The scan streams across text-node boundaries with an n-char
     * ring buffer, so a word split across inline markup or around a
-    * parse-dropped comment is still found. Conservative: concatenation
-    * ignores block boundaries, so a match spanning two unrelated blocks is
-    * a (harmless) false positive — this is a gate, the guarded rule does
-    * the precise check.
+    * parse-dropped comment is still found, and WHITESPACE RUNS COLLAPSE TO
+    * ONE SPACE — the same whitespace semantics as the normalized innerText
+    * the guarded rules match against, so a newline or double space inside
+    * a multi-word needle phrase in source HTML cannot silently disable the
+    * rule. Conservative: concatenation ignores block boundaries, so a
+    * match spanning two unrelated blocks is a (harmless) false positive —
+    * this is a gate, the guarded rule does the precise check.
     */
   private[algo] def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
     val n = needle.length
@@ -2236,26 +2239,32 @@ object SiteRules {
     val ring = new Array[Char](n)
     var filled = 0
     var pos = 0
+    var lastWasSpace = true // collapses leading whitespace too
     var cur = root
     while (cur != -1) {
       if (dom.kind(cur) == Dom.Text) {
         val s = dom.text(cur)
         var i = 0
         while (i < s.length) {
-          ring(pos) = Character.toLowerCase(s.charAt(i))
-          pos += 1
-          if (pos == n) pos = 0
-          if (filled < n) filled += 1
-          if (filled == n) {
-            var k = 0
-            var ok = true
-            while (ok && k < n) {
-              var j = pos + k
-              if (j >= n) j -= n
-              if (ring(j) != low(k)) ok = false
-              k += 1
+          val raw = s.charAt(i)
+          val ws = Character.isWhitespace(raw)
+          if (!(ws && lastWasSpace)) {
+            lastWasSpace = ws
+            ring(pos) = if (ws) ' ' else Character.toLowerCase(raw)
+            pos += 1
+            if (pos == n) pos = 0
+            if (filled < n) filled += 1
+            if (filled == n) {
+              var k = 0
+              var ok = true
+              while (ok && k < n) {
+                var j = pos + k
+                if (j >= n) j -= n
+                if (ring(j) != low(k)) ok = false
+                k += 1
+              }
+              if (ok) return true
             }
-            if (ok) return true
           }
           i += 1
         }

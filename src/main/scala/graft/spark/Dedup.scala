@@ -24,11 +24,32 @@ object Dedup {
       .otherwise(casted)
   }
 
+  /** ONE whitespace definition for every normalization site (JVM hot
+    * paths, Catalyst columns, and the generated DuckDB oracle SQL): the
+    * RE2/POSIX `\s` set `[ \t\n\f\r]`, which is exactly what DuckDB's
+    * regex engine matches. Java's `\s` additionally matches `\x0B`
+    * (vertical tab) — using it on the Spark side made the asserted
+    * three-way parity quietly false for texts containing `\x0B`.
+    */
+  final val WsPattern = "[ \\t\\n\\f\\r]+"
+
+  /** Shared normalization (lowercase + whitespace collapse) for the JVM
+    * hot paths. Lowercasing goes through UTF8String — the SAME
+    * implementation Catalyst's `lower()` uses under the default collation
+    * — so the asserted JVM ≡ column parity holds by construction for
+    * non-ASCII text too (both share whatever locale behavior the fallback
+    * has), instead of pairing Locale.ROOT on one side with the
+    * default-locale fallback on the other.
+    */
+  private[spark] def normalizeJvm(text: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString.replaceAll(WsPattern, " ")
+
   /** Character shingles (lowercased, whitespace-normalized) as an array
     * column — codegen'd transform over substring offsets.
     */
   def shingles(text: Column, k: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val norm = regexp_replace(lower(text), WsPattern, " ")
     array_distinct(
       transform(
         sequence(lit(1), greatest(length(norm) - k + 1, lit(1))),
@@ -135,7 +156,7 @@ object Dedup {
     }
     val as = Array.tabulate(nHashes)(mixA)
     val bs = Array.tabulate(nHashes)(mixB)
-    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val norm = normalizeJvm(text)
     val n = math.max(norm.length - shingleK + 1, 1)
     val seen = new java.util.HashSet[String]()
     val sig = Array.fill(nHashes)(Long.MaxValue)
@@ -257,8 +278,7 @@ object Dedup {
       def sset(id: Long, text: String): java.util.HashSet[String] = {
         val hit = cache.get(id)
         if (hit != null) return hit
-        val norm = Option(text).getOrElse("")
-          .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val norm = normalizeJvm(Option(text).getOrElse(""))
         val set = new java.util.HashSet[String]()
         val n = math.max(norm.length - shingleK + 1, 1)
         var i = 0
@@ -305,7 +325,7 @@ object Dedup {
     * aggregate over the 64 positions.
     */
   def simhash(text: Column): Column = {
-    val tokens = filter(split(regexp_replace(lower(text), "\\s+", " "), " "), t => t =!= "")
+    val tokens = filter(split(regexp_replace(lower(text), WsPattern, " "), " "), t => t =!= "")
     val hashes = transform(tokens, t => xxhash64(t))
     // for each bit mask: count tokens with the bit set; set the result bit
     // when the majority has it
@@ -329,8 +349,7 @@ object Dedup {
   def simhashJvm(text: String): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").split(" ")
+    val toks = normalizeJvm(text).split(" ")
     val counts = new Array[Int](64)
     var n = 0
     var i = 0
@@ -383,7 +402,7 @@ object Dedup {
 
   /** Column formulation (parity witness for [[simhashPortableJvm]]). */
   def simhashPortable(text: Column): Column = {
-    val tokens = filter(split(regexp_replace(lower(text), "\\s+", " "), " "), t => t =!= "")
+    val tokens = filter(split(regexp_replace(lower(text), WsPattern, " "), " "), t => t =!= "")
     val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val masks = array((0 until SimhashPortableBits).map(b => lit(1L << b)): _*)
     val n = size(hashes)
@@ -402,8 +421,7 @@ object Dedup {
     */
   def simhashPortableJvm(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").split(" ")
+    val toks = normalizeJvm(text).split(" ")
     val counts = new Array[Int](SimhashPortableBits)
     var n = 0
     var i = 0

@@ -114,4 +114,23 @@ class DomOpsSpec extends AnyFunSuite {
       assert(Dedup.affineMod(a, x, b) == expect)
     }
   }
+
+  test("rawTextNodeContains collapses whitespace runs like normalized innerText") {
+    def probe(html: String, needle: String): Boolean = {
+      val d = Parser.parse("<body>" + html + "</body>")
+      SiteRules.rawTextNodeContains(d, d.bodyEl, needle)
+    }
+    // single-space needle vs newline / double-space / tab in source HTML —
+    // the exact divergence that used to silently disable a gated rule
+    assert(probe("<p>aoraki /\n   mount cook is high</p>", "aoraki / mount cook"))
+    assert(probe("<p>aoraki  /  mount\tcook</p>", "aoraki / mount cook"))
+    // phrase split across inline markup still matches
+    assert(probe("<p>aoraki / <b>mount</b> cook</p>", "aoraki / mount cook"))
+    // whitespace swallowed entirely by markup boundaries does NOT match
+    // (there is genuinely no space between the words in the text stream)
+    assert(!probe("<p>mount<b>cook</b></p>", "mount cook"))
+    // plain behavior unchanged: case-insensitive, absence stays absent
+    assert(probe("<p>Richard SEDDON</p>", "richard seddon"))
+    assert(!probe("<p>nothing here</p>", "richard seddon"))
+  }
 }

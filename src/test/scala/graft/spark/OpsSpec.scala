@@ -172,6 +172,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.simhashPortableJvm("   ") == (1L << 60) - 1)
   }
 
+  test("JVM ≡ column parity holds on non-ASCII text and the \\x0B edge (shared normalization)") {
+    val s = spark
+    import s.implicits._
+    // Turkish dotted/dotless İ, German sharp-s, accents, a vertical tab
+    // (NOT whitespace under the shared RE2-compatible class), CRLF runs
+    val tricky = Seq(
+      (1L, "İstanbul ÄRGER straße ÇÖKÜŞ"),
+      (2L, "mixed\u000Bvertical tab stays\u000Bglued"),
+      (3L, "crlf\r\nruns\t\tand\f formfeed"),
+      (4L, "ΕΛΛΗΝΙΚΆ κείμενο И РУССКИЙ текст")
+    ).toDF("doc_id", "text")
+    val colSim = tricky.select($"doc_id", Dedup.simhashPortable($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jvmSim = Dedup.simhashPortableDf(tricky).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jvmSim == colSim)
+    val colXx = tricky.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jvmXx = Dedup.simhashDf(tricky).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jvmXx == colXx)
+    val colMh = tricky.select($"doc_id",
+      Dedup.bandHashes(Dedup.minhashSignature(Dedup.shingles($"text", 5), 16), 16, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val jvmMh = tricky.collect().map(r => r.getLong(0) ->
+      Dedup.bucketHashesJvm(r.getString(1), 5, 16, 4).toSeq).toMap
+    assert(jvmMh == colMh)
+  }
+
   test("simhashPortable: near-dups have small hamming distance") {
     val h = Dedup.simhashPortableDf(docsDf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
