@@ -134,6 +134,45 @@ object FixtureRunner {
     }
   }
 
+  /** Cross-implementation diff — the OFFLINE form of the reference CLI's
+    * mozilla-bridge workflow (`CLI/Sources/main.swift` Parse subcommand +
+    * `CLI/scripts/mozilla-bridge.js`; live fetch needs network and the
+    * bridge needs Node, neither available here): compare two STAGED
+    * outputs — e.g. ours minted via `mint` vs a checked-in Readability.js
+    * output for the same source — under the SAME span-sequence
+    * normalization the golden suite uses (parse → readability-page-1 root
+    * → serialized spans), so formatting-only differences (attribute
+    * order, inter-block whitespace, self-closing syntax) do not count as
+    * divergence. Returns divergence lines; empty = equivalent.
+    */
+  def diffStaged(a: Path, b: Path, maxSpanDiffs: Int = 10): List[String] = {
+    def spansOf(d: Path) = expectedSpans(Files.readString(d.resolve("expected.html")))
+    val sa = spansOf(a)
+    val sb = spansOf(b)
+    val out = List.newBuilder[String]
+    var reported = 0
+    var i = 0
+    while (i < math.max(sa.length, sb.length) && reported < maxSpanDiffs) {
+      val x = if (i < sa.length) Some(sa(i)) else None
+      val y = if (i < sb.length) Some(sb(i)) else None
+      if (x != y) {
+        out += s"span[$i]:\n  a=${fmt(x)}\n  b=${fmt(y)}"
+        reported += 1
+      }
+      i += 1
+    }
+    if (sa.length != sb.length)
+      out += s"span count: a=${sa.length} b=${sb.length}"
+    val ja = Files.readString(a.resolve("expected-metadata.json"))
+    val jb = Files.readString(b.resolve("expected-metadata.json"))
+    for (f <- Seq("title", "byline", "dir", "lang", "excerpt", "siteName", "publishedTime")) {
+      val va = metaField(ja, f).map(_.trim).filter(_.nonEmpty)
+      val vb = metaField(jb, f).map(_.trim).filter(_.nonEmpty)
+      if (va != vb) out += s"meta $f: a=${va.getOrElse("∅")} b=${vb.getOrElse("∅")}"
+    }
+    out.result()
+  }
+
   private def fmt(s: Option[Serialize.Span]): String = s match {
     case None => "<missing>"
     case Some(sp) =>
@@ -232,6 +271,21 @@ object FixtureRunner {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       println(s"committed ${dest.toAbsolutePath}")
+      return
+    }
+    // diff mode: `FixtureRunner diff <stagedDirA> <stagedDirB>` — the
+    // offline cross-implementation check (see [[diffStaged]]): compare a
+    // minted staging of OUR output against a checked-in staging of another
+    // implementation's output (e.g. Readability.js) for the same source.
+    if (args.headOption.contains("diff")) {
+      require(args.length >= 3, "usage: FixtureRunner diff <stagedDirA> <stagedDirB>")
+      val diffs = diffStaged(Paths.get(args(1)), Paths.get(args(2)))
+      if (diffs.isEmpty) println("EQUIVALENT")
+      else {
+        println(s"DIVERGENT (${diffs.length} findings)")
+        diffs.foreach(d => println("  " + d.replace("\n", "\n  ")))
+        sys.exit(1)
+      }
       return
     }
     // inspect mode: `FixtureRunner inspect <corpus> <fixture>` dumps the

@@ -49,4 +49,34 @@ class FixtureToolSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("diff: staged outputs compare under span normalization; divergences are reported") {
+    val tmp = Files.createTempDirectory("graft-fixturediff")
+    try {
+      val src = Paths.get(FixtureRunner.fixtureRoot, "ex-pages", "xkcd", "source.html")
+      val ours = tmp.resolve("ours")
+      FixtureRunner.main(Array("mint", src.toString, FixtureRunner.fakeBaseUrl, ours.toString))
+      // an "other implementation's" staging with formatting-only changes:
+      // re-serialized whitespace between blocks must NOT count as divergence
+      val theirs = tmp.resolve("theirs")
+      Files.createDirectories(theirs)
+      val html = Files.readString(ours.resolve("expected.html"))
+      Files.writeString(theirs.resolve("expected.html"), html.replace("><", ">\n  <"))
+      Files.copy(ours.resolve("expected-metadata.json"), theirs.resolve("expected-metadata.json"))
+      assert(FixtureRunner.diffStaged(ours, theirs).isEmpty,
+        FixtureRunner.diffStaged(ours, theirs).mkString("\n"))
+      // real divergence: changed text content + changed metadata field
+      val broken = tmp.resolve("broken")
+      Files.createDirectories(broken)
+      Files.writeString(broken.resolve("expected.html"),
+        "<div id=\"readability-page-1\"><p>a different implementation said this</p></div>")
+      Files.writeString(broken.resolve("expected-metadata.json"),
+        """{"title": "Another Title", "byline": null}""")
+      val diffs = FixtureRunner.diffStaged(ours, broken)
+      assert(diffs.exists(_.startsWith("span[")), diffs.mkString("\n"))
+      assert(diffs.exists(_.startsWith("meta title:")), diffs.mkString("\n"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
