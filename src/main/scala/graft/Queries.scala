@@ -423,6 +423,36 @@ object Queries {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Session-scoped cache of the IVF inverted-list index over the
+    * embeddings corpus — the coarse-quantizer counterpart to the sign-LSH
+    * signature table: built once per corpus snapshot
+    * ([[graft.spark.Ivf.ivfIndex]]), persisted, probed by query batches.
+    */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ivfLists = 16
+  private val ivfProbe = 4
+  private def embIvfIndex(s: SparkSession, dir: String): DataFrame =
+    ivfCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
+      graft.spark.Ivf.ivfIndex(t(s, dir, "embeddings"), nLists = ivfLists).persist())
+
+  /** IVF ANN top-k over the persisted inverted-file index: queries rank
+    * the (deterministic, oracle-replayable) centroid set, probe their
+    * nProbe best lists, and re-score exactly — the DuckDB oracle replays
+    * the whole index+probe plan (centroid selection, rounded-argmax
+    * assignment, probe sets, final top-k), so the check is
+    * rows+schema+hash; recall vs the exact baseline is asserted in
+    * OpsSpec on clustered data.
+    */
+  def e3_cosine_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = embIvfIndex(s, dir)
+    // query vectors from the cached index — no second corpus scan
+    val queries = idx.filter($"vec_id" < 5).select($"vec_id", $"v".as("embedding"))
+    graft.spark.Ivf.ivfTopK(idx, emb, queries,
+        k = 5, nLists = ivfLists, nProbe = ivfProbe)
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Multimodal pipeline over a deterministic media side-table derived
     * from the documents table
     * ([[graft.spark.Multimodal.syntheticMediaFromDocs]]): batched
@@ -486,6 +516,7 @@ object Queries {
     drop(extractedCache)
     drop(lshCandCache)
     drop(sigCache)
+    drop(ivfCache)
     sigCountCache.keySet().removeIf(_.startsWith(prefix))
   }
 
@@ -518,6 +549,7 @@ object Queries {
     "d10_embed_dup" -> (d10_embed_dup _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
+    "e3_cosine_ivf" -> (e3_cosine_ivf _),
     "m1_media_features" -> (m1_media_features _),
     "x1_extract" -> (x1_extract _),
     "x2_extract_metrics" -> (x2_extract_metrics _),
@@ -684,6 +716,7 @@ object Queries {
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),
     "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5),
+    "e3_cosine_ivf" -> e3IvfOracleSql(nLists = ivfLists, nProbe = ivfProbe, k = 5),
     "m1_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -856,6 +889,55 @@ object Queries {
        |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
        |  FROM scored) WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
+
+  /** DuckDB replay of the e3 IVF plan: centroid set = the `nLists`
+    * smallest-id positive-norm vectors; assignment = rounded-argmax
+    * cosine over the centroid set (c_id ASC tie-break); queries
+    * (vec_id < 5) probe their `nProbe` best lists; exact cosine + top-k —
+    * mirroring [[graft.spark.Ivf.ivfIndex]]/[[graft.spark.Ivf.ivfTopK]]
+    * exactly (rounded-before-compare ranking, zero-norm exclusion).
+    */
+  private def e3IvfOracleSql(nLists: Int, nProbe: Int, k: Int): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pos AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+       |  WHERE list_dot_product(v, v) > 0),
+       |cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM pos
+       |  ORDER BY vec_id LIMIT $nLists),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT p.vec_id, c.c_id AS list_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(list_dot_product(p.v, c.cv) / (p.nrm * c.cn), 6) DESC,
+       |          c.c_id ASC) AS rk
+       |    FROM pos p CROSS JOIN cent c)
+       |  WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, list_id FROM (
+       |    SELECT p.vec_id, c.c_id AS list_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(list_dot_product(p.v, c.cv) / (p.nrm * c.cn), 6) DESC,
+       |          c.c_id ASC) AS rk
+       |    FROM pos p CROSS JOIN cent c WHERE p.vec_id < 5)
+       |  WHERE rk <= $nProbe),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id
+       |  FROM qprobe q JOIN assign a ON a.list_id = q.list_id AND a.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round(list_dot_product(pq.v, pa.v) / (pq.nrm * pa.nrm), 3) AS cosine
+       |  FROM cand
+       |  JOIN pos pq ON pq.vec_id = cand.query_id
+       |  JOIN pos pa ON pa.vec_id = cand.vec_id)
+       |SELECT query_id, vec_id, cosine, rk FROM (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
 
   /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */
   private def langHitsSql(words: Seq[String]): String =

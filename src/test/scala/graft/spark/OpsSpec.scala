@@ -329,6 +329,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sig.unpersist()
   }
 
+  test("ann: ivf index + probe achieve high recall vs exact baseline; zero-norm rows excluded") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val base = Array.fill(5)(Array.fill(32)(rng.nextFloat() * 2 - 1))
+    val clustered = (0 until 200).map { i =>
+      val c = base(i % 5)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.15f).toSeq)
+    }
+    val vecs = (clustered ++ Seq((900L, Seq.fill(32)(0.0f)), (901L, Seq.fill(32)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val nonzero = vecs.filter($"vec_id" < 900)
+    val queries = vecs.filter($"vec_id" < 3)
+    val idx = Ivf.ivfIndex(vecs, nLists = 16).persist()
+    try {
+      // zero-norm rows have no defined cosine: not indexed, never returned
+      assert(idx.filter($"vec_id" >= 900).count() == 0)
+      assert(idx.count() == 200)
+      // every vector landed in a real centroid list
+      val lists = idx.select($"list_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(lists.subsetOf((0L until 16L).toSet), lists.toString)
+      val exact = Ann.cosineTopK(nonzero, queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Ivf.ivfTopK(idx, vecs, queries, k = 10, nLists = 16, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall=$recall")
+      // probing MORE lists can only add candidates (monotone coverage)
+      val wide = Ivf.ivfTopK(idx, vecs, queries, k = 10, nLists = 16, nProbe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((exact & wide).size >= (exact & approx).size)
+      // nProbe = nLists scans everything → exact recall
+      assert(wide == exact, s"full-probe IVF must equal the exact baseline")
+    } finally idx.unpersist()
+  }
+
   test("ann: all-pairs baseline fails fast past its size guard") {
     val s = spark
     import s.implicits._
