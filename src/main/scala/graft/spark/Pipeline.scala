@@ -177,6 +177,35 @@ object Pipeline {
     }
   }
 
+  /** Structured Streaming twin of [[extract]] — IDENTICAL per-doc
+    * semantics, incremental execution: `readStream` source →
+    * `extractStreaming` → `writeStream` sink. A streaming Dataset has no
+    * `queryExecution.toRdd` handle (the plan is incremental), so this path
+    * assembles through the typed layer instead of the batch path's
+    * InternalRow hot loop; the per-executor oversize gate applies inside
+    * each micro-batch exactly as in batch. Equality with the batch result
+    * on the same docs is asserted in OpsSpec.
+    */
+  def extractStreaming(docs: Dataset[Doc], cfg: Config = Config())(
+      implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val opts = graft.algo.Options(charThreshold = cfg.charThreshold)
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val spans = if (d.spans == null) Nil else d.spans
+        val big = spans.length > cfg.oversizeSpans
+        def go(): ExtractedDoc = Spans.extractFromHtml(d.doc_id,
+          Spans.assembleHtml(spans), cfg.baseUrl, opts, cfg.maxHtmlChars)
+        if (!big) go()
+        else {
+          val gate = Pipeline.oversizeGate(cfg.oversizePartitions)
+          gate.acquire()
+          try go() finally gate.release()
+        }
+      }
+    }
+  }
+
   /** Per-JVM (= per-executor) gates bounding concurrent oversize-doc
     * extractions, one per distinct permit count so jobs with different
     * configs in one JVM each get the bound they asked for.

@@ -423,6 +423,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming: incremental extraction matches the batch pipeline result") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Corpus.generate(spark, 10, nPartitions = 2).collect()
+    val batch = Pipeline.extract(Corpus.generate(spark, 10, nPartitions = 2))
+      .collect().map(d => d.doc_id -> (d.status, d.title, d.spans)).toMap
+    val mem = MemoryStream[Doc]
+    val q = Pipeline.extractStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("x_stream")
+      .outputMode("append").start()
+    mem.addData(docs.take(4): _*)
+    q.processAllAvailable()
+    assert(s.sql("select * from x_stream").count() == 4)
+    mem.addData(docs.drop(4): _*) // second micro-batch: incremental
+    q.processAllAvailable()
+    val streamed = s.table("x_stream").as[ExtractedDoc].collect()
+      .map(d => d.doc_id -> (d.status, d.title, d.spans)).toMap
+    q.stop()
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed == batch, "streaming extraction diverged from the batch pipeline")
+  }
+
   test("streaming: stateful sessionization closes sessions after gap") {
     val s = spark
     import s.implicits._
