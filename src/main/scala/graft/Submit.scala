@@ -35,6 +35,7 @@ object Submit {
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     implicit val spark: SparkSession = SparkSession.builder()
       .appName(s"graft-extract-$runId")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     import spark.implicits._
     val io: graft.spark.TableIO =
