@@ -327,6 +327,16 @@ object Queries {
     graft.spark.Dedup.simhashPortableDf(t(s, dir, "documents"))
       .orderBy($"doc_id")
 
+  /** SimHash near-duplicate pairs — banded Hamming search over the
+    * portable fingerprints ([[graft.spark.Dedup.simhashPairs]]): 4 bands
+    * × 15 bits, complete for Hamming ≤ 3 by pigeonhole, capped degenerate
+    * bands, exact popcount verify. The DuckDB oracle replays fingerprints
+    * + banding + cap + verify.
+    */
+  def d11_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.spark.Dedup.simhashPairs(t(s, dir, "documents"))
+      .orderBy($"doc_a", $"doc_b")
+
   /** Session-scoped cache of the sign-LSH signature table over the
     * embeddings corpus: the REUSABLE artifact shared by d10 (bucketed
     * near-dup self-join) and e2 (precomputed ANN probes) — in production
@@ -547,6 +557,7 @@ object Queries {
     "d8_jaccard_pairs" -> (d8_jaccard_pairs _),
     "d9_simhash" -> (d9_simhash _),
     "d10_embed_dup" -> (d10_embed_dup _),
+    "d11_simhash_pairs" -> (d11_simhash_pairs _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
     "e3_cosine_ivf" -> (e3_cosine_ivf _),
@@ -693,25 +704,24 @@ object Queries {
           |  JOIN sh sb ON sb.doc_id = p.doc_b)
           |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
     "d9_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(
-        |      regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
-        |  FROM documents),
-        |hx AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-        |votes AS (
-        |  SELECT doc_id, b, (1::BIGINT << b) AS mask,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS cnt,
-        |    count(*) AS n
-        |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN 2 * cnt >= n THEN mask ELSE 0 END) AS BIGINT) AS sig
-        |  FROM votes GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(s.sig, 1152921504606846975) AS simhash
-        |FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      (simhashFpCtes + "\nSELECT doc_id, simhash FROM fp ORDER BY doc_id"),
+    "d11_simhash_pairs" ->
+      (simhashFpCtes +
+        """,
+          |bands AS (
+          |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bval
+          |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+          |capped AS (
+          |  SELECT doc_id, simhash, band, bval FROM bands
+          |  QUALIFY count(*) OVER (PARTITION BY band, bval) <= 256),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |  FROM capped a JOIN capped b
+          |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2, 3)
+          |SELECT doc_a, doc_b, hamming FROM pairs
+          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
     "d10_embed_dup" -> d10BucketedOracleSql(
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),
@@ -752,6 +762,31 @@ object Queries {
         |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
   )
+
+  /** Shared DuckDB CTE chain producing the portable SimHash fingerprint
+    * per document (`fp(doc_id, simhash)`) — the d9 replay, reused by the
+    * d11 banded-pair replay.
+    */
+  private def simhashFpCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(
+      |      regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |hx AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, b, (1::BIGINT << b) AS mask,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS cnt,
+      |    count(*) AS n
+      |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN 2 * cnt >= n THEN mask ELSE 0 END) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |fp AS (
+      |  SELECT d.doc_id, COALESCE(s.sig, 1152921504606846975) AS simhash
+      |  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)""".stripMargin
 
   /** DuckDB expression for the 60-bit shingle base hash (parity with
     * [[graft.spark.Dedup.shingleX]]): first 15 hex chars of md5 as BIGINT.

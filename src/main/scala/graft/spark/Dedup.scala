@@ -469,4 +469,52 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate PAIRS via banded Hamming search (the
+    * Manku/Jain/Das Sarma web-dedup construction, WWW'07 — public
+    * literature): split the 60-bit portable fingerprint into `nBands`
+    * equal bands; any pair within Hamming distance < nBands must agree
+    * exactly on at least one band (pigeonhole), so candidates come from
+    * an equi-self-join on (band, value) and the verify stage is a
+    * codegen'd popcount — no cross product anywhere, the same
+    * candidates→verify shape as [[minhashLshPairs]]→[[jaccardPairs]].
+    *
+    * Scale notes: the 8-byte fingerprint travels WITH the exploded band
+    * keys (nBands× duplication of 16 bytes/row) so the verify needs no
+    * join back to the signature table; the only shuffles are the
+    * (band, value) self-join and the final distinct. Degenerate bands —
+    * e.g. boilerplate-dominated fingerprints sharing a band value with
+    * half the corpus — are capped exactly like [[minhashLshPairs]]
+    * buckets (a band value carried by a large corpus fraction has no
+    * near-dup signal). Completeness within the cap: every pair at
+    * Hamming ≤ maxHamming < nBands is found (asserted against the
+    * brute-force oracle in OpsSpec).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, nBands: Int = 4,
+      maxBucketSize: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < nBands (got $maxHamming ≥ $nBands)")
+    require(SimhashPortableBits % nBands == 0, s"$nBands must divide $SimhashPortableBits")
+    val bandBits = SimhashPortableBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashPortableDf(docs, idCol, textCol)
+    val keys = sigs.select(col(idCol), col("simhash"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bval"))
+    val capped = keys
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val a = capped.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"), col("band"), col("bval"))
+    val b = capped.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -109,6 +109,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jvmVals == colVals)
   }
 
+  test("simhash pairs: banded Hamming search is complete vs brute force within the cap") {
+    val s = spark
+    import s.implicits._
+    // the shared 5-doc corpus plus extra near-dup variants to populate
+    // the low-Hamming band
+    val docs = docsDf.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog again and again!!"),
+      (7L, "the quick brown fox jumps over that lazy dog again and again")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, nBands = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact dup must be found at Hamming 0; unrelated docs never pair
+    assert(pairs.get((1L, 4L)).contains(0L), pairs.toString)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+    // completeness (pigeonhole, no cap hit at this size): exactly the
+    // brute-force Hamming ≤ 3 pair set
+    val sigs = Dedup.simhashPortableDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    // degenerate-band cap: identical boilerplate clones collapse to the
+    // same fingerprint — capped away instead of emitting m²/2 pairs
+    val clones = (1L to 300L).map(i => (i, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(clones, maxBucketSize = 50).count() == 0)
+    // no cartesian anywhere in the plan
+    val plan = Dedup.simhashPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ann: lsh top-k achieves high recall vs exact baseline") {
     val s = spark
     import s.implicits._
