@@ -377,6 +377,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salt distribution: pmod(xxhash64(doc_id)) spreads ids with bounded skew") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val nSalts = 64
+    val n = 20000
+    val counts = spark.range(n)
+      .select(concat(lit("doc_"), col("id")).as("doc_id"))
+      .select(pmod(xxhash64(col("doc_id")), lit(nSalts)).as("salt"))
+      .groupBy("salt").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every salt used, and no hot salt: max ≤ 2× the mean (binomial
+    // concentration puts the true max ~1.25×; 2× catches a broken hash)
+    assert(counts.size == nSalts, s"only ${counts.size}/$nSalts salts used")
+    val mean = n.toDouble / nSalts
+    val max = counts.values.max
+    assert(max <= 2 * mean, s"hot salt: max=$max mean=$mean")
+  }
+
   test("poison rows yield error status, never throw") {
     implicit val s: SparkSession = spark
     import s.implicits._
