@@ -31,6 +31,19 @@ object EventStream {
         count(lit(1)).as("n_events"),
         sum(col("value")).as("sum_value"))
 
+  /** Streaming ingest dedup: drop re-deliveries of the same event id
+    * arriving within the watermark horizon (at-least-once sources like
+    * Kafka re-deliver on rebalance; this makes the downstream counts
+    * effectively-once). `dropDuplicates` keeps per-key state; the
+    * watermark BOUNDS that state — ids older than the horizon are evicted,
+    * which is the only way a 100 TB/day stream's dedup state stays finite.
+    * Batch twin: `d1_dedup_exact` (hash-groupBy over the full corpus).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom sessionization with explicit state: per-user sessions closed
     * after 30 minutes of inactivity (KeyValueGroupedDataset +
     * flatMapGroupsWithState, SURVEY prompt requirement for custom state).

@@ -456,6 +456,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming: ingest dedup drops re-delivered event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L * 72 + min * 60_000L)
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(1, ts(0), 10, "click", 1.0), // same-batch duplicate
+      Event(2, ts(1), 11, "view", 2.0))
+    q.processAllAvailable()
+    // cross-batch re-delivery of event 1 within the watermark horizon
+    mem.addData(Event(1, ts(2), 10, "click", 1.0), Event(3, ts(3), 12, "click", 3.0))
+    q.processAllAvailable()
+    val ids = s.sql("select event_id from dedup_events").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("streaming: incremental extraction matches the batch pipeline result") {
     implicit val s: SparkSession = spark
     import s.implicits._
