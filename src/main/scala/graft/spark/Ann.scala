@@ -484,42 +484,50 @@ object Ann {
       }
     }
     val bc = spark.sparkContext.broadcast(qIndex)
-    val scored = sigTable
-      .select(col("vec_id"), col("v"), col("norm"), col("sigs"), col("n_bits"))
-      .as[(Long, Seq[Double], Double, Seq[Long], Int)]
-      .mapPartitions { it =>
-        val idx = bc.value
-        it.flatMap { case (vid, vseq, vn, sigs, storedBits) =>
-          // a mismatched family silently probes wrong buckets — fail loudly
-          require(storedBits == nBits && sigs.length == nTables,
-            s"signatureTable built with (nTables=${sigs.length}, nBits=$storedBits) " +
-              s"but probed with (nTables=$nTables, nBits=$nBits)")
-          var v: Array[Double] = null // materialized lazily on first hit
-          val seen = new java.util.HashSet[Long]()
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var t = 0
-          // vn == 0 → no defined cosine: emit nothing for this candidate
-          while (vn > 0.0 && t < sigs.length) {
-            val hits = idx.get(java.lang.Long.valueOf(bucketKey(t, sigs(t), nBits)))
-            if (hits != null) {
-              var qi = 0
-              while (qi < hits.length) {
-                val (qid, qv, qn) = hits(qi)
-                if (qid != vid && seen.add(qid)) {
-                  if (v == null) v = vseq.toArray
-                  val c = java.math.BigDecimal.valueOf(dotJvm(qv, v) / (qn * vn))
-                    .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
-                  out += ((qid, vid, c))
-                }
-                qi += 1
+    // probe BELOW the row abstraction (same pattern as the d10 scorer):
+    // the typed-encoder path boxed all `dims` vector doubles into a Seq
+    // for EVERY scanned row, but most corpus rows hit no query bucket —
+    // here a miss reads only the 8-byte signatures, and the vector is
+    // materialized from the InternalRow only on the first bucket hit.
+    import spark.implicits._
+    val df = sigTable.select(col("vec_id"), col("v"), col("norm"), col("sigs"), col("n_bits"))
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val idx = bc.value
+      it.flatMap { row =>
+        val vid = row.getLong(0)
+        val vn = row.getDouble(2)
+        val sigs = row.getArray(3)
+        val storedBits = row.getInt(4)
+        // a mismatched family silently probes wrong buckets — fail loudly
+        require(storedBits == nBits && sigs.numElements() == nTables,
+          s"signatureTable built with (nTables=${sigs.numElements()}, nBits=$storedBits) " +
+            s"but probed with (nTables=$nTables, nBits=$nBits)")
+        var v: Array[Double] = null // materialized lazily on first hit
+        val seen = new java.util.HashSet[Long]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var t = 0
+        // vn == 0 → no defined cosine: emit nothing for this candidate
+        while (vn > 0.0 && t < nTables) {
+          val hits = idx.get(java.lang.Long.valueOf(bucketKey(t, sigs.getLong(t), nBits)))
+          if (hits != null) {
+            var qi = 0
+            while (qi < hits.length) {
+              val (qid, qv, qn) = hits(qi)
+              if (qid != vid && seen.add(qid)) {
+                if (v == null) v = row.getArray(1).toDoubleArray()
+                val c = java.math.BigDecimal.valueOf(dotJvm(qv, v) / (qn * vn))
+                  .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+                out += ((qid, vid, c))
               }
+              qi += 1
             }
-            t += 1
           }
-          out.iterator
+          t += 1
         }
+        out
       }
-      .toDF("query_id", "vec_id", "cosine")
+    }
+    val scored = spark.createDataset(rdd).toDF("query_id", "vec_id", "cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
