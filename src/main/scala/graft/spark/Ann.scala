@@ -51,13 +51,15 @@ object Ann {
       maxBucketSize: Int): DataFrame = {
     val sizes = bucketKeys(sigTable, bucketBits)
       .groupBy(col("bkey")).agg(count(lit(1)).as("bucket_n"))
+    // coalesce: a global agg over an EMPTY table yields null sums — the
+    // report must stay readable (all-zero), not NPE its consumer
     sizes.agg(
       lit(bucketBits).cast("long").as("bucket_bits"),
       lit(maxBucketSize).cast("long").as("max_bucket_size"),
       count(lit(1)).as("n_buckets"),
-      sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped_buckets"),
-      sum(col("bucket_n")).as("n_keys"),
-      sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L)).as("n_dropped_keys"))
+      coalesce(sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)), lit(0L)).as("n_dropped_buckets"),
+      coalesce(sum(col("bucket_n")), lit(0L)).as("n_keys"),
+      coalesce(sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L)), lit(0L)).as("n_dropped_keys"))
       .withColumn("dropped_key_fraction",
         round(col("n_dropped_keys").cast("double") /
           greatest(col("n_keys").cast("double"), lit(1.0)), 4))

@@ -99,7 +99,9 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 
   private def isZeroDouble(e: Expression): Boolean = e match {
-    case Literal(0.0, DoubleType) => true
+    // bit-exact +0.0 only: a -0.0 seed matches 0.0 under ==, but the HOF
+    // chain returns -0.0 for an empty array where DotProduct returns 0.0
+    case Literal(v: Double, DoubleType) => java.lang.Double.doubleToRawLongBits(v) == 0L
     case _ => false
   }
 
