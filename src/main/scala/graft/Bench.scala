@@ -42,8 +42,15 @@ object Bench {
     // numbers as a group, not in isolation.
     val note = "first consumer absorbs shared artifact cost: " +
       "{x1,x2}=extracted corpus, {d7,d8}=LSH candidates, {d10,e2}=signature table"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","shared_cost":"$note"}""")
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","shared_cost":"$note"}"""
     Queries.releaseCaches(spark)
     spark.stop()
+    // the metric line is the LAST stdout line (after spark.stop so no
+    // shutdown logging trails it) and is ALSO written to a file — the r5
+    // driver failed to parse it out of the sbt tail ("parsed": null)
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), metricLine + "\n"))
+    println(metricLine)
   }
 }

@@ -323,19 +323,46 @@ object Queries {
     * variant remains as [[graft.spark.Dedup.simhashDf]] with its own
     * JVM≡column parity spec.
     */
+  /** Session-scoped cache of the portable SimHash fingerprint table — the
+    * REUSABLE artifact shared by d9 (the fingerprint surface) and d11 (the
+    * banded near-dup search): in production it is minted once per corpus
+    * snapshot, same economics as the sign-LSH signature table.
+    */
+  private val simhashCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    simhashCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
+      graft.spark.Dedup.simhashPortableDf(t(s, dir, "documents")).persist())
+
   def d9_simhash(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Dedup.simhashPortableDf(t(s, dir, "documents"))
-      .orderBy($"doc_id")
+    simhashSigs(s, dir).orderBy($"doc_id")
+
+  private val d11Cap = 256
 
   /** SimHash near-duplicate pairs — banded Hamming search over the
-    * portable fingerprints ([[graft.spark.Dedup.simhashPairs]]): 4 bands
-    * × 15 bits, complete for Hamming ≤ 3 by pigeonhole, capped degenerate
-    * bands, exact popcount verify. The DuckDB oracle replays fingerprints
-    * + banding + cap + verify.
+    * portable fingerprints ([[graft.spark.Dedup.simhashPairsFromSigs]]):
+    * 4 bands × 15 bits, complete for Hamming ≤ 3 by pigeonhole, capped
+    * degenerate bands, exact popcount verify. The DuckDB oracle replays
+    * fingerprints + banding + cap + verify. The cap is OBSERVED, not
+    * silent: a band-coverage report is recorded on every registered
+    * execution ([[graft.spark.Coverage]]) with a status flip past 5%
+    * dropped keys — the d10 treatment. (Band WIDTH stays fixed by the
+    * pigeonhole completeness bound; see
+    * [[graft.spark.Dedup.simhashBandCoverage]].)
     */
-  def d11_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    graft.spark.Dedup.simhashPairs(t(s, dir, "documents"))
+  def d11_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(s, dir)
+    val cov = graft.spark.Coverage.record("d11_simhash_pairs", "band_coverage",
+      graft.spark.Dedup.simhashBandCoverage(
+        graft.spark.Dedup.simhashBandKeys(sigs), d11Cap))
+    println(f"[d11_simhash_pairs] cap=$d11Cap " +
+      f"buckets=${cov.getAs[Long]("n_buckets")} dropped_buckets=${cov.getAs[Long]("n_dropped_buckets")} " +
+      f"dropped_key_fraction=${cov.getAs[Double]("dropped_key_fraction")}%.4f status=${cov.getAs[String]("status")}")
+    if (cov.getAs[String]("status") != "ok")
+      System.err.println(s"[d11_simhash_pairs] WARNING: degenerate-band cap is " +
+        "shedding a recall-relevant key fraction — see the recorded coverage row")
+    graft.spark.Dedup.simhashPairsFromSigs(sigs, maxBucketSize = d11Cap)
       .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Session-scoped cache of the sign-LSH signature table over the
     * embeddings corpus: the REUSABLE artifact shared by d10 (bucketed
@@ -401,12 +428,15 @@ object Queries {
     d10LastBits.set(bits)
     // no silent caps: report what the degenerate-bucket cap drops, every
     // run (one cheap agg over the exploded key table of the persisted
-    // signature artifact — ≤ nTables·2^bits groups)
-    val cov = graft.spark.Ann.bucketCoverage(sig, bits, d10Cap).collect()(0)
+    // signature artifact — ≤ nTables·2^bits groups), RECORDED into the
+    // persistable Coverage registry (queryable after the run), not just
+    // printed
+    val cov = graft.spark.Coverage.record("d10_embed_dup", "bucket_coverage",
+      graft.spark.Ann.bucketCoverage(sig, bits, d10Cap))
     val droppedFrac = cov.getAs[Double]("dropped_key_fraction")
     println(f"[d10_embed_dup] n=${embCount(s, dir)} bucketBits=$bits cap=$d10Cap " +
       f"buckets=${cov.getAs[Long]("n_buckets")} dropped_buckets=${cov.getAs[Long]("n_dropped_buckets")} " +
-      f"dropped_key_fraction=$droppedFrac%.4f")
+      f"dropped_key_fraction=$droppedFrac%.4f status=${cov.getAs[String]("status")}")
     if (droppedFrac > 0.05)
       System.err.println(f"[d10_embed_dup] WARNING: cap drops ${droppedFrac * 100}%.1f%% of " +
         "bucket keys — recall is degraded; raise bucketBits/targetBucketSize")
@@ -527,6 +557,7 @@ object Queries {
     drop(lshCandCache)
     drop(sigCache)
     drop(ivfCache)
+    drop(simhashCache)
     sigCountCache.keySet().removeIf(_.startsWith(prefix))
   }
 

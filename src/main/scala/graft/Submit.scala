@@ -37,6 +37,22 @@ object Submit {
       .appName(s"graft-extract-$runId")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
+    // .config on the builder is a NO-OP when getOrCreate returned a live
+    // session (extensions apply only at session construction): inject the
+    // optimizer rule on the live session through the public experimental
+    // hook so the native graft_dot codegen path still fires, and say
+    // loudly that the SQL-function registration (builder-only API) did not
+    // happen — silent absence of a registered optimization is the failure
+    // mode this engine forbids.
+    if (preexisting.nonEmpty) {
+      if (!spark.experimental.extraOptimizations.contains(graft.spark.RewriteHofDotProduct))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.spark.RewriteHofDotProduct
+      System.err.println("[submit] WARNING: reusing a live SparkSession — " +
+        "spark.sql.extensions was NOT applied; RewriteHofDotProduct injected via " +
+        "experimental.extraOptimizations, but the graft_dot SQL function is " +
+        "unavailable unless the session was built with the extensions config")
+    }
     import spark.implicits._
     val io: graft.spark.TableIO =
       if (opts.contains("catalog")) new graft.spark.CatalogTableIO

@@ -38,6 +38,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cap-coverage / balance reports recorded during the run — persisted
+    // beside the query results so "recall degraded" is queryable after
+    // the fact, not a scrolled-away log line
+    try graft.spark.Coverage.table(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_coverage")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] coverage dump failed: ${e.getMessage}")
+    }
     Queries.releaseCaches(spark) // no persisted artifact outlives the batch
     spark.stop()
   }

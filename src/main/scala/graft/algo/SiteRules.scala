@@ -2230,12 +2230,37 @@ object SiteRules {
     * match spanning two unrelated blocks is a (harmless) false positive —
     * this is a gate, the guarded rule does the precise check.
     */
-  private[algo] def rawTextNodeContains(dom: Dom, root: Int, needle: String): Boolean = {
+  private[algo] def rawTextNodeContains(dom: Dom, root: Int, rawNeedle: String): Boolean = {
+    // normalize the needle with the SAME collapse the scanned stream gets:
+    // a tab/newline/double-space inside a needle would otherwise never
+    // match (the stream side emits single spaces only) and silently
+    // disable its guarded rule — the exact failure mode the stream-side
+    // collapse was added to eliminate. Current needles are all lowercase
+    // single-space already, so this is hazard-proofing for future rules.
+    val needle = {
+      val sb = new java.lang.StringBuilder(rawNeedle.length)
+      var i = 0
+      var lastWs = false
+      while (i < rawNeedle.length) {
+        val c = rawNeedle.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (!lastWs && sb.length > 0) sb.append(' ')
+          lastWs = true
+        } else {
+          sb.append(Character.toLowerCase(c))
+          lastWs = false
+        }
+        i += 1
+      }
+      // drop a trailing collapsed space so "foo " still matches mid-stream
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+      sb.toString
+    }
     val n = needle.length
     if (n == 0) return true
     val low = new Array[Char](n)
     var k0 = 0
-    while (k0 < n) { low(k0) = Character.toLowerCase(needle.charAt(k0)); k0 += 1 }
+    while (k0 < n) { low(k0) = needle.charAt(k0); k0 += 1 }
     val ring = new Array[Char](n)
     var filled = 0
     var pos = 0

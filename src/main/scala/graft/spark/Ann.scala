@@ -48,7 +48,7 @@ object Ann {
     * exposes it as a plan-audit surface.
     */
   def bucketCoverage(sigTable: DataFrame, bucketBits: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, degradedAbove: Double = 0.05): DataFrame = {
     val sizes = bucketKeys(sigTable, bucketBits)
       .groupBy(col("bkey")).agg(count(lit(1)).as("bucket_n"))
     // coalesce: a global agg over an EMPTY table yields null sums — the
@@ -63,6 +63,8 @@ object Ann {
       .withColumn("dropped_key_fraction",
         round(col("n_dropped_keys").cast("double") /
           greatest(col("n_keys").cast("double"), lit(1.0)), 4))
+      .withColumn("status",
+        when(col("dropped_key_fraction") > degradedAbove, "degraded").otherwise("ok"))
   }
 
   def cosine(a: Column, b: Column): Column =

@@ -1,0 +1,81 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Persistable registry of cap-coverage / balance reports — the "no silent
+  * caps" observability surface (VERDICT r5 item 2): every registered
+  * execution of a capped operator (d10's bucket cap, d11's band cap, e3's
+  * IVF list balance) RECORDS its report here instead of only printing it,
+  * so "recall degraded" is a queryable row after the fact, not a log line
+  * that scrolled away.
+  *
+  * Rows are normalized to one schema — (query, kind, status, metrics
+  * map) — so heterogeneous reports (bucket coverage vs list balance)
+  * coexist in one table. [[graft.Verify]] dumps the table beside the query
+  * results; production runs would [[persist]] it through the same
+  * [[TableIO]] seam as the lineage sidecar.
+  */
+object Coverage {
+
+  final case class Entry(
+      query: String,
+      kind: String,
+      status: String,
+      recorded_at: java.sql.Timestamp,
+      metrics: Map[String, Double])
+
+  private val entries = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+
+  /** Record the (1-row) `report` DataFrame for `query`. Numeric columns
+    * land in the metrics map; a `status` column is lifted (absent →
+    * "ok"). Returns the collected row so the caller can also log it —
+    * recording and printing share one collect.
+    */
+  def record(query: String, kind: String, report: DataFrame): Row = {
+    val row = report.collect()(0)
+    val schema = report.schema
+    val metrics = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else f.dataType match {
+        case org.apache.spark.sql.types.LongType => Some(f.name -> row.getLong(i).toDouble)
+        case org.apache.spark.sql.types.IntegerType => Some(f.name -> row.getInt(i).toDouble)
+        case org.apache.spark.sql.types.DoubleType => Some(f.name -> row.getDouble(i))
+        case _ => None
+      }
+    }.toMap
+    val status =
+      if (schema.fieldNames.contains("status") && !row.isNullAt(schema.fieldIndex("status")))
+        row.getString(schema.fieldIndex("status"))
+      else "ok"
+    entries.add(Entry(query, kind, status,
+      new java.sql.Timestamp(System.currentTimeMillis()), metrics))
+    row
+  }
+
+  /** Everything recorded in this JVM so far, as a queryable DataFrame. */
+  def table(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val snapshot = entries.toArray(Array.empty[Entry]).toSeq
+    spark.createDataset(snapshot).toDF()
+  }
+
+  /** Latest recorded entry for `query`, if any (spec/assertion surface). */
+  def latest(query: String): Option[Entry] = {
+    var found: Option[Entry] = None
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.query == query) found = Some(e)
+    }
+    found
+  }
+
+  /** Write the recorded table through the [[TableIO]] seam — the same
+    * sidecar mechanics as the extraction lineage, so at production scale
+    * coverage lands beside the artifacts it describes.
+    */
+  def persist(spark: SparkSession, io: TableIO, path: String): Unit =
+    io.write(table(spark), path)
+
+  def clear(): Unit = entries.clear()
+}

@@ -492,22 +492,78 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, nBands: Int = 4,
       maxBucketSize: Int = 256, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(maxHamming < nBands,
-      s"pigeonhole completeness needs maxHamming < nBands (got $maxHamming ≥ $nBands)")
+      textCol: String = "text"): DataFrame =
+    simhashPairsFromSigs(simhashPortableDf(docs, idCol, textCol),
+      maxHamming, nBands, maxBucketSize, idCol)
+
+  /** Exploded (id, simhash, band, bval) band-key table over a
+    * [[simhashPortableDf]] fingerprint table — the candidate-key stage of
+    * [[simhashPairsFromSigs]], factored out so coverage reporting
+    * ([[simhashBandCoverage]]) shares it instead of recomputing
+    * fingerprints.
+    */
+  def simhashBandKeys(sigs: DataFrame, nBands: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
     require(SimhashPortableBits % nBands == 0, s"$nBands must divide $SimhashPortableBits")
     val bandBits = SimhashPortableBits / nBands
     val mask = (1L << bandBits) - 1
-    val sigs = simhashPortableDf(docs, idCol, textCol)
-    val keys = sigs.select(col(idCol), col("simhash"),
+    sigs.select(col(idCol), col("simhash"),
         posexplode(array((0 until nBands).map(b =>
           shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bval"))
-    val capped = keys
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+  }
+
+  /** One coverage row for the degenerate-band cap over a
+    * [[simhashBandKeys]] table — the "no silent caps" observability the
+    * d10 bucket path already has ([[Ann.bucketCoverage]]): how many
+    * (band, bval) buckets the cap drops and what key fraction that is,
+    * with a status column that flips to "degraded" past
+    * `degradedAbove`. Unlike d10's sub-banding, the band WIDTH here is
+    * pinned by the pigeonhole guarantee (maxHamming < nBands over
+    * 60/nBands-bit bands — widening bands to shrink buckets would break
+    * completeness), and deriving the CAP from corpus size would unbound
+    * the self-join quadratically; the honest scale treatment is this
+    * report, persisted next to every run ([[graft.spark.Coverage]]).
+    */
+  def simhashBandCoverage(keys: DataFrame, maxBucketSize: Int,
+      nBands: Int = 4, degradedAbove: Double = 0.05): DataFrame = {
+    val sizes = keys.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bucket_n"))
+    sizes.agg(
+      lit(SimhashPortableBits / nBands).cast("long").as("bucket_bits"),
+      lit(maxBucketSize).cast("long").as("max_bucket_size"),
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)), lit(0L)).as("n_dropped_buckets"),
+      coalesce(sum(col("bucket_n")), lit(0L)).as("n_keys"),
+      coalesce(sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L)), lit(0L)).as("n_dropped_keys"))
+      .withColumn("dropped_key_fraction",
+        round(col("n_dropped_keys").cast("double") /
+          greatest(col("n_keys").cast("double"), lit(1.0)), 4))
+      .withColumn("status",
+        when(col("dropped_key_fraction") > degradedAbove, "degraded").otherwise("ok"))
+  }
+
+  /** [[simhashPairs]] over a precomputed [[simhashPortableDf]] fingerprint
+    * table (shared with the d9 surface — fingerprints are computed once
+    * per corpus, same economics as [[Ann.signatureTable]]).
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3, nBands: Int = 4,
+      maxBucketSize: Int = 256, idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < nBands (got $maxHamming ≥ $nBands)")
+    val keys = simhashBandKeys(sigs, nBands, idCol)
+    // degenerate-band cap WITHOUT the window: a count(*) OVER
+    // (PARTITION BY band, bval) sort-shuffles the full exploded key table,
+    // exactly the shuffle the 10^12-scale notes forbid. Band sizes
+    // aggregate map-side to a bounded group count (≤ distinct (band, bval)
+    // values), the oversize set broadcasts, and an anti-join drops those
+    // keys — mirroring [[Ann.cosineDupPairsCandidates]]; results identical
+    // (the oracle keeps replaying the cap with the QUALIFY window form).
+    val oversized = keys.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("bval"))
+    val capped = keys.join(broadcast(oversized), Seq("band", "bval"), "left_anti")
     val a = capped.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"), col("band"), col("bval"))
     val b = capped.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"), col("band"), col("bval"))
     a.join(b, Seq("band", "bval"))

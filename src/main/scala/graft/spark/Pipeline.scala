@@ -335,13 +335,22 @@ object Lineage {
     * None = nothing committed yet (fresh run).
     */
   def doneSet(io: TableIO, spark: SparkSession, outPath: String): Option[DataFrame] = {
-    val validated = scala.util.Try(io.read(spark, io.sidecar(outPath, "lineage"))).toOption
-      .filter(sc => sc.columns.contains("part_key") && sc.columns.contains("n_docs"))
-      .filter { sc =>
+    // ONE Try around the whole sidecar read + validation: the sidecar is
+    // written non-atomically after the sink commit, so the crash window can
+    // leave not just a STALE sidecar (caught by the count compare) but a
+    // physically CORRUPT one — readable footers, bad data pages — where the
+    // validation aggregate itself throws at execution time. Any failure
+    // anywhere in the sidecar path must degrade to the always-consistent
+    // committed-output scan, never abort the resume.
+    val validated = scala.util.Try {
+      val sc = io.read(spark, io.sidecar(outPath, "lineage"))
+      if (!(sc.columns.contains("part_key") && sc.columns.contains("n_docs"))) None
+      else {
         val total = sc.agg(sum(col("n_docs"))).collect()(0)
         val sidecarDocs = if (total.isNullAt(0)) 0L else total.getLong(0)
-        scala.util.Try(io.countRows(spark, outPath)).toOption.contains(sidecarDocs)
+        if (io.countRows(spark, outPath) == sidecarDocs) Some(sc) else None
       }
+    }.toOption.flatten
     validated.map(_.select(col("part_key")))
       .orElse(
         scala.util.Try(io.read(spark, outPath)).toOption
