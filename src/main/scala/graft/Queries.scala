@@ -463,33 +463,46 @@ object Queries {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Session-scoped cache of the IVF inverted-list index over the
-    * embeddings corpus — the coarse-quantizer counterpart to the sign-LSH
-    * signature table: built once per corpus snapshot
-    * ([[graft.spark.Ivf.ivfIndex]]), persisted, probed by query batches.
+  /** Session-scoped cache of the IVF (index, centroid-sidecar) pair over
+    * the embeddings corpus — the coarse-quantizer counterpart to the
+    * sign-LSH signature table: the deterministic k-means model is trained
+    * once per corpus snapshot ([[graft.spark.Ivf.kmeansModel]]), the index
+    * built and persisted, and the centroid table rides beside it the way
+    * the lineage sidecar rides beside the sink.
     */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
   private val ivfLists = 16
   private val ivfProbe = 4
-  private def embIvfIndex(s: SparkSession, dir: String): DataFrame =
-    ivfCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
-      graft.spark.Ivf.ivfIndex(t(s, dir, "embeddings"), nLists = ivfLists).persist())
+  private val ivfIters = 2
+  private def embIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.spark.Ivf.kmeansModel(emb, nLists = ivfLists, iters = ivfIters)
+      (graft.spark.Ivf.ivfIndex(emb, model).persist(),
+        graft.spark.Ivf.centroidTable(s, model))
+    })
 
   /** IVF ANN top-k over the persisted inverted-file index: queries rank
-    * the (deterministic, oracle-replayable) centroid set, probe their
-    * nProbe best lists, and re-score exactly — the DuckDB oracle replays
-    * the whole index+probe plan (centroid selection, rounded-argmax
-    * assignment, probe sets, final top-k), so the check is
-    * rows+schema+hash; recall vs the exact baseline is asserted in
-    * OpsSpec on clustered data.
+    * the trained centroid set (deterministic k-means — hash-ordered
+    * seeding + integer-quantized Lloyd updates, so the DuckDB oracle
+    * replays the whole TRAINING as well as index build + probe + top-k),
+    * probe their nProbe best lists, and re-score exactly; the check is
+    * rows+schema+hash. The probe validates the centroid table's model
+    * fingerprint against the index ([[graft.spark.Ivf.ivfTopK]]) and a
+    * list-balance row is recorded every run ([[graft.spark.Coverage]]).
+    * Recall vs the exact baseline AND vs the old smallest-id placeholder
+    * quantizer is asserted in OpsSpec on clustered data.
     */
   def e3_cosine_ivf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val idx = embIvfIndex(s, dir)
+    val (idx, cents) = embIvf(s, dir)
+    val bal = graft.spark.Coverage.record("e3_cosine_ivf", "ivf_list_balance",
+      graft.spark.Ivf.listBalance(idx, ivfLists))
+    println(f"[e3_cosine_ivf] nLists=$ivfLists used=${bal.getAs[Long]("n_lists_used")} " +
+      f"max_list=${bal.getAs[Long]("max_list")} imbalance=${bal.getAs[Double]("imbalance")}%.2f " +
+      f"status=${bal.getAs[String]("status")}")
     // query vectors from the cached index — no second corpus scan
     val queries = idx.filter($"vec_id" < 5).select($"vec_id", $"v".as("embedding"))
-    graft.spark.Ivf.ivfTopK(idx, emb, queries,
-        k = 5, nLists = ivfLists, nProbe = ivfProbe)
+    graft.spark.Ivf.ivfTopK(idx, cents, queries, k = 5, nProbe = ivfProbe)
       .orderBy($"query_id", $"rk")
   }
 
@@ -556,8 +569,17 @@ object Queries {
     drop(extractedCache)
     drop(lshCandCache)
     drop(sigCache)
-    drop(ivfCache)
     drop(simhashCache)
+    locally {
+      val it = ivfCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          e.getValue._1.unpersist() // the centroid table (_2) is a local relation
+          it.remove()
+        }
+      }
+    }
     sigCountCache.keySet().removeIf(_.startsWith(prefix))
   }
 
@@ -757,7 +779,8 @@ object Queries {
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),
     "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5),
-    "e3_cosine_ivf" -> e3IvfOracleSql(nLists = ivfLists, nProbe = ivfProbe, k = 5),
+    "e3_cosine_ivf" -> e3IvfOracleSql(nLists = ivfLists, nProbe = ivfProbe, k = 5,
+      iters = ivfIters, dims = 64),
     "m1_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -956,42 +979,76 @@ object Queries {
        |  FROM scored) WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
-  /** DuckDB replay of the e3 IVF plan: centroid set = the `nLists`
-    * smallest-id positive-norm vectors; assignment = rounded-argmax
-    * cosine over the centroid set (c_id ASC tie-break); queries
-    * (vec_id < 5) probe their `nProbe` best lists; exact cosine + top-k —
-    * mirroring [[graft.spark.Ivf.ivfIndex]]/[[graft.spark.Ivf.ivfTopK]]
-    * exactly (rounded-before-compare ranking, zero-norm exclusion).
+  /** DuckDB replay of the e3 IVF plan INCLUDING the deterministic k-means
+    * training ([[graft.spark.Ivf.kmeansModel]]): seeds = the `nLists`
+    * positive-norm vectors with the smallest md5-derived 60-bit id hash
+    * (vec_id tie-break); each Lloyd iteration assigns by rounded-argmax
+    * cosine (list_id ASC tie-break) and updates centroids as
+    * integer-quantized per-dimension means — `floor(x·10^6 + 0.5)` longs
+    * summed exactly, one IEEE division for the mean, so the replay is
+    * bit-identical without any reduction-order contract. Empty or
+    * zero-norm lists keep their previous centroid (LEFT JOIN + CASE, the
+    * JVM's `byList.get == None` branch). Then: final assignment, queries
+    * (vec_id < 5) probe their `nProbe` best lists, exact cosine + top-k —
+    * mirroring [[graft.spark.Ivf.ivfIndex]]/[[graft.spark.Ivf.ivfTopK]].
     */
-  private def e3IvfOracleSql(nLists: Int, nProbe: Int, k: Int): String =
+  private def e3IvfOracleSql(nLists: Int, nProbe: Int, k: Int,
+      iters: Int, dims: Int): String = {
+    def rankedAssign(centCte: String, extraWhere: String): String =
+      s"""    SELECT p.vec_id, p.v, p.nrm, c.list_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_dot_product(p.v, c.cv) / (p.nrm * c.cn), 6) DESC,
+         |          c.list_id ASC) AS rk
+         |    FROM pos p CROSS JOIN $centCte c$extraWhere""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""assign$i AS (
+         |  SELECT vec_id, v, nrm, list_id FROM (
+         |${rankedAssign(s"cent${i - 1}", "")})
+         |  WHERE rk = 1),
+         |sums$i AS (
+         |  SELECT a.list_id, d.dim,
+         |    sum(CAST(floor(a.v[d.dim + 1] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         |    count(*) AS n
+         |  FROM assign$i a CROSS JOIN (SELECT unnest(generate_series(0, ${dims - 1})) AS dim) d
+         |  GROUP BY 1, 2),
+         |newc$i AS (
+         |  SELECT list_id,
+         |    list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY dim) AS cv
+         |  FROM sums$i GROUP BY list_id),
+         |cent$i AS (
+         |  SELECT c.list_id,
+         |    CASE WHEN n.cv IS NULL OR list_dot_product(n.cv, n.cv) = 0
+         |         THEN c.cv ELSE n.cv END AS cv,
+         |    CASE WHEN n.cv IS NULL OR list_dot_product(n.cv, n.cv) = 0
+         |         THEN c.cn ELSE sqrt(list_dot_product(n.cv, n.cv)) END AS cn
+         |  FROM cent${i - 1} c LEFT JOIN newc$i n ON c.list_id = n.list_id),""".stripMargin
+    }.mkString("\n")
+    val centF = s"cent$iters"
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |pos AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
        |  WHERE list_dot_product(v, v) > 0),
-       |cent AS (
-       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM pos
-       |  ORDER BY vec_id LIMIT $nLists),
-       |assign AS (
+       |cent0 AS (
+       |  SELECT CAST(rk - 1 AS BIGINT) AS list_id, v AS cv, nrm AS cn FROM (
+       |    SELECT vec_id, v, nrm,
+       |      row_number() OVER (ORDER BY
+       |        ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |        vec_id) AS rk
+       |    FROM pos) WHERE rk <= $nLists),
+       |$iterCtes
+       |assignf AS (
        |  SELECT vec_id, list_id FROM (
-       |    SELECT p.vec_id, c.c_id AS list_id,
-       |      row_number() OVER (PARTITION BY p.vec_id
-       |        ORDER BY round(list_dot_product(p.v, c.cv) / (p.nrm * c.cn), 6) DESC,
-       |          c.c_id ASC) AS rk
-       |    FROM pos p CROSS JOIN cent c)
+       |${rankedAssign(centF, "")})
        |  WHERE rk = 1),
        |qprobe AS (
        |  SELECT vec_id AS query_id, list_id FROM (
-       |    SELECT p.vec_id, c.c_id AS list_id,
-       |      row_number() OVER (PARTITION BY p.vec_id
-       |        ORDER BY round(list_dot_product(p.v, c.cv) / (p.nrm * c.cn), 6) DESC,
-       |          c.c_id ASC) AS rk
-       |    FROM pos p CROSS JOIN cent c WHERE p.vec_id < 5)
+       |${rankedAssign(centF, " WHERE p.vec_id < 5")})
        |  WHERE rk <= $nProbe),
        |cand AS (
        |  SELECT q.query_id, a.vec_id
-       |  FROM qprobe q JOIN assign a ON a.list_id = q.list_id AND a.vec_id <> q.query_id
+       |  FROM qprobe q JOIN assignf a ON a.list_id = q.list_id AND a.vec_id <> q.query_id
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT cand.query_id, cand.vec_id,
@@ -1004,6 +1061,7 @@ object Queries {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
        |  FROM scored) WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
 
   /** DuckDB SQL for padded-stopword hit counts (mirrors d4_lang_id). */
   private def langHitsSql(words: Seq[String]): String =

@@ -2,6 +2,17 @@ package graft.spark
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
+/** One recorded coverage/balance report (top-level so Spark's product
+  * encoder derives cleanly — nested-object case classes trip scala
+  * reflection under the typed layer).
+  */
+final case class CoverageEntry(
+    query: String,
+    kind: String,
+    status: String,
+    recorded_at: java.sql.Timestamp,
+    metrics: Map[String, Double])
+
 /** Persistable registry of cap-coverage / balance reports — the "no silent
   * caps" observability surface (VERDICT r5 item 2): every registered
   * execution of a capped operator (d10's bucket cap, d11's band cap, e3's
@@ -17,14 +28,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object Coverage {
 
-  final case class Entry(
-      query: String,
-      kind: String,
-      status: String,
-      recorded_at: java.sql.Timestamp,
-      metrics: Map[String, Double])
+  type Entry = CoverageEntry
 
-  private val entries = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  private val entries = new java.util.concurrent.ConcurrentLinkedQueue[CoverageEntry]()
 
   /** Record the (1-row) `report` DataFrame for `query`. Numeric columns
     * land in the metrics map; a `status` column is lifted (absent →
@@ -47,21 +53,35 @@ object Coverage {
       if (schema.fieldNames.contains("status") && !row.isNullAt(schema.fieldIndex("status")))
         row.getString(schema.fieldIndex("status"))
       else "ok"
-    entries.add(Entry(query, kind, status,
+    entries.add(CoverageEntry(query, kind, status,
       new java.sql.Timestamp(System.currentTimeMillis()), metrics))
     row
   }
 
-  /** Everything recorded in this JVM so far, as a queryable DataFrame. */
+  /** Everything recorded in this JVM so far, as a queryable DataFrame.
+    * Built with an explicit schema (the scala-2.13 reflection encoder
+    * trips a RefinedType MatchError on this shape under Spark 4).
+    */
   def table(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val snapshot = entries.toArray(Array.empty[Entry]).toSeq
-    spark.createDataset(snapshot).toDF()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query", StringType),
+      StructField("kind", StringType),
+      StructField("status", StringType),
+      StructField("recorded_at", TimestampType),
+      StructField("metrics", MapType(StringType, DoubleType))))
+    val rows = new java.util.ArrayList[Row]()
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows.add(Row(e.query, e.kind, e.status, e.recorded_at, e.metrics))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Latest recorded entry for `query`, if any (spec/assertion surface). */
-  def latest(query: String): Option[Entry] = {
-    var found: Option[Entry] = None
+  def latest(query: String): Option[CoverageEntry] = {
+    var found: Option[CoverageEntry] = None
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
@@ -9,27 +9,43 @@ import org.apache.spark.sql.functions._
   * same economics as [[Ann.signatureTable]]), and a query scans only the
   * `nProbe` lists whose centroids score highest, instead of the corpus.
   *
-  * Centroid choice is PLUGGABLE and deliberately deterministic here: the
-  * vectors with the `nLists` smallest ids. Production would run k-means /
-  * k-means|| for tighter lists; the IVF *mechanics* — assignment,
-  * inverted lists, multi-probe, exact re-scoring — are identical and are
-  * what this operator builds. Deterministic centroids are also what lets
-  * the DuckDB oracle REPLAY the whole index+probe plan exactly (k-means'
-  * float-sum reduction order differs across engines, which would break
-  * hash-level replay).
+  * The coarse quantizer is a real (Lloyd) k-means, made DETERMINISTIC and
+  * cross-engine replayable — which is what buys e3 a hard DuckDB oracle
+  * despite float arithmetic:
+  *   - seeding: the `nLists` vectors with the smallest md5-derived 60-bit
+  *     hash of their id (pseudo-random uniform over the corpus, pure
+  *     function of the data — same portability trick as the MinHash
+  *     mixA/mixB family in [[Dedup]]);
+  *   - update: per-list per-dimension means over INTEGER-QUANTIZED
+  *     components (`floor(x·10^6 + 0.5)` as a long). Integer sums are
+  *     exact and order-independent, so the reduction needs no ordering
+  *     contract at all — a plain map-side-combined groupBy — and the
+  *     mean `sum / (n·10^6)` is one IEEE division, bit-identical in any
+  *     engine. (A float-sum reduction would differ by reduction order
+  *     BETWEEN RUNS, let alone between engines.)
+  *   - assignment: argmax of `round(cosine, 6)` with ascending-list-id
+  *     tie-break, the same rounded-before-compare trick e1/e2 use.
   *
-  * Scale shape (10^9+ vectors): the assignment pass is map-only with the
-  * (small) centroid set broadcast; the index table partitions/persists by
-  * `list_id`; a query batch is broadcast and each index row does an O(1)
-  * probe-set lookup — the only shuffle anywhere is the final per-query
-  * top-k, same as [[Ann.lshCosineTopKPrecomputed]].
+  * Scale shape (10^9+ vectors): seeding is one TakeOrderedAndProject;
+  * each Lloyd iteration is one map-only assignment pass with the (small)
+  * centroid set broadcast plus one shuffle of nLists×dims partial sums
+  * (map-side combined — the shuffle payload is bounded by
+  * nPartitions·nLists·dims longs, not by corpus size); the index pass is
+  * map-only; a query batch is broadcast and each index row does an O(1)
+  * probe-set lookup — the only per-query shuffle is the final top-k, same
+  * as [[Ann.lshCosineTopKPrecomputed]].
   *
-  * Cosines are rounded (HALF_UP) before every comparison, with id
-  * tie-breaks, so ranking is stable and engine-portable (the same trick
-  * e1/e2 use); zero-norm vectors have no defined cosine and are excluded
-  * from index, centroid set, and query set on both engines.
+  * Zero-norm vectors have no defined cosine and are excluded from index,
+  * seed set, and query set on both engines. Vector dims are assumed
+  * uniform across the corpus (the same contract every replayed vector
+  * oracle here has, see the `dims` literal in the generated sign-LSH SQL).
   */
 object Ivf {
+
+  /** Quantization scale for the k-means update step (6 decimal digits —
+    * matches the 6-decimal cosine rounding used for ranking).
+    */
+  final val QuantScale = 1000000.0
 
   /** Round to `scale` decimals, HALF_UP — mirrors Column/DuckDB round. */
   @inline private def rnd(x: Double, scale: Int): Double =
@@ -43,44 +59,173 @@ object Ivf {
     s
   }
 
-  /** Collected (id, vector, norm) rows for the centroid set: the vectors
-    * with the `nLists` smallest ids whose norm is positive. Small by
-    * construction (nLists ≈ sqrt(corpus) in practice; a few thousand rows
-    * even at 10^9 vectors) — the same bounded-by-contract collect as the
-    * ANN query sides.
+  /** One centroid: `listId` is the 0-based list identifier (seed-hash
+    * order), `cv` the centroid vector, `cn` its L2 norm.
     */
-  private def centroids(vectors: DataFrame, nLists: Int,
-      idCol: String, vecCol: String): Array[(Long, Array[Double], Double)] = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val vd = vectors.select(
-      Dedup.requireLongId(col(idCol), "Ivf.centroids").as("cid"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
-    // norm > 0 BEFORE the id-ordered limit — exactly the oracle's
-    // `WHERE list_dot_product(v, v) > 0 ORDER BY vec_id LIMIT nLists`,
-    // so zero-norm rows can never shift the centroid set between engines.
-    // TakeOrderedAndProject: per-partition heap, no full sort.
-    vd.filter(aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b),
-        lit(0.0), (s, x) => s + x) > 0)
-      .orderBy(col("cid"))
-      .limit(nLists)
-      .as[(Long, Seq[Double])]
-      .collect()
-      .map { case (id, v) => val a = v.toArray; (id, a, math.sqrt(dotJvm(a, a))) }
+  final case class Centroid(listId: Int, cv: Array[Double], cn: Double)
+
+  /** A trained coarse quantizer. The fingerprint is a digest of the exact
+    * centroid bits + structure: [[ivfIndex]] stamps it on every index row
+    * and [[ivfTopK]] REQUIRES the probing centroid table to carry the
+    * same one — a query against an index built from a different corpus
+    * snapshot fails loudly instead of silently degrading recall (the same
+    * contract as [[Ann.lshCosineTopKPrecomputed]]'s (nTables, nBits)
+    * require).
+    */
+  final case class Model(nLists: Int, iters: Int, quantizer: String,
+      centroids: Array[Centroid]) {
+    require(centroids.nonEmpty, "Ivf.Model: empty centroid set")
+
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder()
+      sb.append(nLists).append('|').append(quantizer).append('|')
+      centroids.foreach { c =>
+        sb.append(c.listId).append(':')
+        c.cv.foreach { d =>
+          sb.append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))).append(',')
+        }
+        // cn is persisted alongside cv, so it is covered by the digest too
+        // (a tampered norm alone would otherwise slip past validation)
+        sb.append('~')
+          .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(c.cn)))
+          .append(';')
+      }
+      md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
   }
 
-  /** Build the inverted-file index: (vec_id, v, norm, list_id) with
-    * list_id = centroid maximizing round(cosine, 6) (smallest centroid id
-    * wins ties). One map-only pass, centroids broadcast. Zero-norm rows
-    * are dropped (no defined cosine ⇒ no meaningful list).
+  /** Non-zero-norm vectors as (vec_id, v double array) — the domain of
+    * every IVF step (cosine is undefined at norm 0), identical to the
+    * oracle's `WHERE list_dot_product(v, v) > 0`.
     */
-  def ivfIndex(vectors: DataFrame, nLists: Int,
+  private def posVectors(vectors: DataFrame, idCol: String, vecCol: String,
+      where: String): DataFrame =
+    vectors.select(
+        Dedup.requireLongId(col(idCol), where).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+        lit(0.0), (s, x) => s + x) > 0)
+
+  /** md5-derived 60-bit seed-ordering hash of an id — Catalyst column
+    * form; DuckDB replays it as
+    * `('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT`.
+    */
+  private def seedHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Nearest-centroid assignment: argmax of round(cosine, 6), smallest
+    * listId wins ties (strict `>` over an ascending scan — the oracle's
+    * `ORDER BY round(...) DESC, list_id ASC` row_number). Centroids MUST
+    * be in ascending listId order (Model construction guarantees it).
+    */
+  private def assignJvm(v: Array[Double], nrm: Double, cents: Array[Centroid]): Int = {
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val cos = rnd(dotJvm(v, c.cv) / (nrm * c.cn), 6)
+      if (cos > bestCos) { bestCos = cos; best = c.listId }
+      j += 1
+    }
+    best
+  }
+
+  private def seedCentroids(pos: DataFrame, nLists: Int, order: Seq[Column]): Array[Centroid] = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val seeds = pos.orderBy(order: _*).limit(nLists) // TakeOrderedAndProject: per-partition heap
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    require(seeds.nonEmpty, "Ivf: no usable (non-zero-norm) seed vectors")
+    seeds.zipWithIndex.map { case ((_, v), i) =>
+      val a = v.toArray
+      Centroid(i, a, math.sqrt(dotJvm(a, a)))
+    }
+  }
+
+  /** Train the deterministic k-means quantizer: hash-ordered seeding +
+    * `iters` Lloyd iterations with integer-quantized updates (see object
+    * doc). Every step is a pure function of the data, so the trained
+    * centroids are identical across runs, partitionings, AND engines —
+    * the DuckDB oracle replays the full training.
+    */
+  def kmeansModel(vectors: DataFrame, nLists: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pos = posVectors(vectors, idCol, vecCol, "Ivf.kmeansModel")
+    var cents = seedCentroids(pos, nLists, Seq(seedHash(col("vec_id")), col("vec_id")))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // one map-only assignment pass; the only shuffle is the partial-sum
+      // agg, map-side combined to ≤ nLists×dims rows per partition
+      val sums = pos.as[(Long, Seq[Double])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (_, vseq) =>
+            val v = vseq.toArray
+            val nrm = math.sqrt(dotJvm(v, v))
+            val q = new Array[Long](v.length)
+            var i = 0
+            while (i < v.length) {
+              q(i) = math.floor(v(i) * QuantScale + 0.5).toLong
+              i += 1
+            }
+            (assignJvm(v, nrm, cs), q.toSeq)
+          }
+        }
+        .toDF("list_id", "q")
+        .select(col("list_id"), posexplode(col("q")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+        .collect() // bounded by nLists × dims rows — small by contract
+      val byList = sums.groupBy(_.getInt(0))
+      cents = cents.map { c =>
+        byList.get(c.listId) match {
+          case None => c // empty list keeps its centroid (oracle: LEFT JOIN + COALESCE)
+          case Some(rows) =>
+            val nv = new Array[Double](c.cv.length)
+            rows.foreach { r =>
+              // exact integers → one IEEE division: engine-portable bits
+              nv(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * QuantScale)
+            }
+            val nn = math.sqrt(dotJvm(nv, nv))
+            if (nn == 0.0) c else Centroid(c.listId, nv, nn)
+        }
+      }
+      bc.unpersist()
+      it += 1
+    }
+    Model(nLists, iters, "kmeans", cents)
+  }
+
+  /** The pre-round-6 placeholder quantizer — centroids = the `nLists`
+    * smallest-id positive-norm vectors. Kept as the BASELINE the recall
+    * spec compares [[kmeansModel]] against (ids often correlate with
+    * content on real corpora, so smallest-id seeds can all land in one
+    * cluster and starve the rest — the quality gap OpsSpec pins down).
+    */
+  def smallestIdModel(vectors: DataFrame, nLists: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val pos = posVectors(vectors, idCol, vecCol, "Ivf.smallestIdModel")
+    Model(nLists, 0, "smallest_id", seedCentroids(pos, nLists, Seq(col("vec_id"))))
+  }
+
+  /** Build the inverted-file index for a trained model: (vec_id, v, norm,
+    * list_id, model_fp). One map-only pass, centroids broadcast; zero-norm
+    * rows are dropped (no defined cosine ⇒ no meaningful list). The
+    * model fingerprint rides on every row so a probe can verify it is
+    * ranking with the SAME centroids the index was built from.
+    */
+  def ivfIndex(vectors: DataFrame, model: Model,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents = centroids(vectors, nLists, idCol, vecCol)
-    require(cents.nonEmpty, "Ivf.ivfIndex: no usable (non-zero-norm) centroid vectors")
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val fp = model.fingerprint
     vectors
       .select(Dedup.requireLongId(col(idCol), "Ivf.ivfIndex"),
         transform(col(vecCol), x => x.cast("double")))
@@ -91,34 +236,96 @@ object Ivf {
           val v = vseq.toArray
           val nrm = math.sqrt(dotJvm(v, v))
           if (nrm == 0.0) Iterator.empty
-          else {
-            var bestList = -1L
-            var bestCos = Double.NegativeInfinity
-            var j = 0
-            while (j < cs.length) {
-              val (cid, cv, cn) = cs(j)
-              val c = rnd(dotJvm(v, cv) / (nrm * cn), 6)
-              if (c > bestCos) { bestCos = c; bestList = cid }
-              j += 1
-            }
-            Iterator.single((id, vseq, nrm, bestList))
-          }
+          else Iterator.single((id, vseq, nrm, assignJvm(v, nrm, cs).toLong, fp))
         }
       }
-      .toDF("vec_id", "v", "norm", "list_id")
+      .toDF("vec_id", "v", "norm", "list_id", "model_fp")
   }
 
-  /** Probe a prebuilt [[ivfIndex]]: each query ranks the centroids, takes
-    * its `nProbe` best lists, and scores exactly only the index rows in
-    * those lists. Output (query_id, vec_id, cosine, rk), rk ≤ k per
-    * query — the same surface as [[Ann.cosineTopK]].
+  /** The model as a persistable side table — (list_id, cv, cn, n_lists,
+    * quantizer, model_fp), stored beside the index the way the lineage
+    * sidecar sits beside the sink. [[ivfTopK]] probes FROM this table,
+    * never re-deriving centroids from a vectors argument (re-derivation
+    * silently drifts when the corpus has changed since the index build —
+    * the failure mode the fingerprint contract exists to kill).
     */
-  def ivfTopK(index: DataFrame, vectors: DataFrame, queries: DataFrame,
-      k: Int, nLists: Int, nProbe: Int,
+  def centroidTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    val fp = model.fingerprint
+    model.centroids.toSeq
+      .map(c => (c.listId.toLong, c.cv.toSeq, c.cn, model.nLists, model.quantizer, fp))
+      .toDF("list_id", "cv", "cn", "n_lists", "quantizer", "model_fp")
+  }
+
+  /** Rebuild + VALIDATE a [[Model]] from a persisted [[centroidTable]]:
+    * fails loudly on a mixed/partial table (several fingerprints, missing
+    * lists) or on centroid bits that no longer digest to the stored
+    * fingerprint (a corrupted or hand-edited table).
+    */
+  def modelFromCentroidTable(centroids: DataFrame): Model = {
+    val rows = centroids
+      .select(col("list_id").cast("int"), col("cv"), col("cn"),
+        col("n_lists").cast("int"), col("quantizer"), col("model_fp"))
+      .collect()
+    require(rows.nonEmpty, "Ivf.modelFromCentroidTable: empty centroid table")
+    val fps = rows.map(_.getString(5)).distinct
+    require(fps.length == 1,
+      s"Ivf.modelFromCentroidTable: centroid table mixes ${fps.length} model fingerprints")
+    val nLists = rows.map(_.getInt(3)).distinct match {
+      case Array(n) => n
+      case other => sys.error(s"Ivf.modelFromCentroidTable: mixed n_lists ${other.mkString(",")}")
+    }
+    require(rows.length == nLists,
+      s"Ivf.modelFromCentroidTable: ${rows.length} centroid rows for n_lists=$nLists")
+    val cents = rows.map { r =>
+      Centroid(r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_.listId)
+    val model = Model(nLists, iters = -1, quantizer = rows(0).getString(4), centroids = cents)
+    require(model.fingerprint == fps(0),
+      s"Ivf.modelFromCentroidTable: centroid bits digest to ${model.fingerprint} " +
+        s"but the table claims ${fps(0)} — corrupted or edited centroid table")
+    model
+  }
+
+  /** One list-balance row for a built index — the quantizer-QUALITY
+    * observability ([[graft.spark.Coverage]] surface): a skewed list
+    * histogram means degraded recall at fixed nProbe (hot lists) and
+    * wasted probes (empty lists). `imbalance` = max list size over mean;
+    * status flips past `skewedAbove`.
+    */
+  def listBalance(index: DataFrame, nLists: Int,
+      skewedAbove: Double = 4.0): DataFrame = {
+    val sizes = index.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      lit(nLists).cast("long").as("n_lists"),
+      count(lit(1)).as("n_lists_used"),
+      coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+      coalesce(max(col("n")), lit(0L)).as("max_list"),
+      coalesce(min(col("n")), lit(0L)).as("min_list"))
+      .withColumn("imbalance",
+        round(col("max_list").cast("double") /
+          greatest(col("n_vectors").cast("double") / col("n_lists").cast("double"), lit(1.0)), 2))
+      .withColumn("status",
+        when(col("imbalance") > skewedAbove, "skewed").otherwise("ok"))
+  }
+
+  /** Probe a prebuilt [[ivfIndex]] with the PERSISTED [[centroidTable]]:
+    * each query ranks the centroids, takes its `nProbe` best lists, and
+    * scores exactly only the index rows in those lists. Every scanned
+    * index row's `model_fp` must match the centroid table's — a drifted
+    * centroid set fails loudly (see [[Model]] doc) instead of silently
+    * ranking against lists assigned under different centroids. Output
+    * (query_id, vec_id, cosine, rk), rk ≤ k per query — the same surface
+    * as [[Ann.cosineTopK]].
+    */
+  def ivfTopK(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = centroids(vectors, nLists, idCol, vecCol)
+    val model = modelFromCentroidTable(centroids)
+    val fp = model.fingerprint
+    val cents = model.centroids
     val qRows = queries
       .select(Dedup.requireLongId(col(idCol), "Ivf.ivfTopK"),
         transform(col(vecCol), x => x.cast("double")))
@@ -130,11 +337,11 @@ object Ivf {
       val qn = math.sqrt(dotJvm(arr, arr))
       if (qn > 0.0) {
         val ranked = cents
-          .map { case (cid, cv, cn) => (cid, rnd(dotJvm(arr, cv) / (qn * cn), 6)) }
+          .map(c => (c.listId, rnd(dotJvm(arr, c.cv) / (qn * c.cn), 6)))
           .sortBy { case (cid, c) => (-c, cid) }
           .take(nProbe)
         ranked.foreach { case (cid, _) =>
-          val key = java.lang.Long.valueOf(cid)
+          val key = java.lang.Long.valueOf(cid.toLong)
           val prev = probeIndex.get(key)
           val entry = (qid, arr, qn)
           probeIndex.put(key, if (prev == null) Array(entry) else prev :+ entry)
@@ -143,11 +350,15 @@ object Ivf {
     }
     val bc = spark.sparkContext.broadcast(probeIndex)
     val scored = index
-      .select(col("vec_id"), col("v"), col("norm"), col("list_id"))
-      .as[(Long, Seq[Double], Double, Long)]
+      .select(col("vec_id"), col("v"), col("norm"), col("list_id"), col("model_fp"))
+      .as[(Long, Seq[Double], Double, Long, String)]
       .mapPartitions { it =>
         val idx = bc.value
-        it.flatMap { case (vid, vseq, vn, listId) =>
+        it.flatMap { case (vid, vseq, vn, listId, rowFp) =>
+          require(rowFp == fp,
+            s"Ivf.ivfTopK: index row built with model_fp=$rowFp but probing with " +
+              s"model_fp=$fp — the centroid table does not match this index " +
+              "(rebuild the index or load the matching centroid sidecar)")
           val hits = idx.get(java.lang.Long.valueOf(listId))
           if (hits == null) Iterator.empty
           else {

@@ -375,7 +375,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
     val nonzero = vecs.filter($"vec_id" < 900)
     val queries = vecs.filter($"vec_id" < 3)
-    val idx = Ivf.ivfIndex(vecs, nLists = 16).persist()
+    val model = Ivf.kmeansModel(vecs, nLists = 16, iters = 2)
+    val cents = Ivf.centroidTable(spark, model)
+    val idx = Ivf.ivfIndex(vecs, model).persist()
     try {
       // zero-norm rows have no defined cosine: not indexed, never returned
       assert(idx.filter($"vec_id" >= 900).count() == 0)
@@ -385,17 +387,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(lists.subsetOf((0L until 16L).toSet), lists.toString)
       val exact = Ann.cosineTopK(nonzero, queries, 10).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val approx = Ivf.ivfTopK(idx, vecs, queries, k = 10, nLists = 16, nProbe = 4)
+      val approx = Ivf.ivfTopK(idx, cents, queries, k = 10, nProbe = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & approx).size.toDouble / exact.size
       assert(recall >= 0.8, s"recall=$recall")
       // probing MORE lists can only add candidates (monotone coverage)
-      val wide = Ivf.ivfTopK(idx, vecs, queries, k = 10, nLists = 16, nProbe = 16)
+      val wide = Ivf.ivfTopK(idx, cents, queries, k = 10, nProbe = 16)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert((exact & wide).size >= (exact & approx).size)
       // nProbe = nLists scans everything → exact recall
       assert(wide == exact, s"full-probe IVF must equal the exact baseline")
     } finally idx.unpersist()
+  }
+
+  test("ivf: deterministic k-means quantizer beats the smallest-id placeholder; fingerprint contract fails loudly") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    val base = Array.fill(8)(Array.fill(32)(rng.nextFloat() * 2 - 1))
+    // adversarial id layout: the 16 smallest ids ALL sit in cluster 0 — on
+    // real corpora ids correlate with content (crawl order), which is the
+    // shape where smallest-id seeding packs every centroid into one
+    // cluster and starves the rest
+    val vecs = (0 until 400).map { i =>
+      val cl = if (i < 16) 0 else i % 8
+      (i.toLong, base(cl).map(x => x + (rng.nextFloat() - 0.5f) * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 20 && $"vec_id" < 28) // one per cluster
+    val exact = Ann.cosineTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(model: Ivf.Model): Double = {
+      val idx = Ivf.ivfIndex(vecs, model)
+      val approx = Ivf.ivfTopK(idx, Ivf.centroidTable(s, model), queries, k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val km = Ivf.kmeansModel(vecs, nLists = 16, iters = 2)
+    val sm = Ivf.smallestIdModel(vecs, nLists = 16)
+    val rKm = recallOf(km)
+    val rSm = recallOf(sm)
+    info(f"recall@10 nProbe=4: kmeans=$rKm%.3f smallest-id=$rSm%.3f")
+    assert(rKm > rSm, f"k-means recall $rKm%.3f did not beat smallest-id $rSm%.3f")
+    assert(rKm >= 0.85, f"k-means recall too low: $rKm%.3f")
+    // list balance: the trained quantizer spreads lists; the placeholder
+    // (all centroids in one cluster) concentrates them
+    val balKm = Ivf.listBalance(Ivf.ivfIndex(vecs, km), 16).collect()(0)
+    val balSm = Ivf.listBalance(Ivf.ivfIndex(vecs, sm), 16).collect()(0)
+    info(s"imbalance: kmeans=${balKm.getAs[Double]("imbalance")} smallest-id=${balSm.getAs[Double]("imbalance")}")
+    assert(balKm.getAs[Double]("imbalance") <= balSm.getAs[Double]("imbalance"))
+    // determinism: retraining digests to the identical fingerprint
+    assert(Ivf.kmeansModel(vecs, nLists = 16, iters = 2).fingerprint == km.fingerprint)
+    // probing an index with a DIFFERENT model's centroid table fails
+    // loudly (the ADVICE r5 silent-drift class), not silently mis-ranks
+    val e = intercept[Throwable] {
+      Ivf.ivfTopK(Ivf.ivfIndex(vecs, km), Ivf.centroidTable(s, sm), queries,
+        k = 10, nProbe = 4).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "|" + messages(t.getCause)
+    assert(messages(e).contains("model_fp"), s"unexpected failure: ${messages(e).take(300)}")
+    // a corrupted/edited centroid table fails the digest check
+    val tampered = Ivf.centroidTable(s, km)
+      .withColumn("cn", org.apache.spark.sql.functions.col("cn") * 1.000001)
+    val e2 = intercept[Throwable] { Ivf.modelFromCentroidTable(tampered) }
+    assert(messages(e2).contains("fingerprint") || messages(e2).contains("digest"),
+      s"unexpected failure: ${messages(e2).take(300)}")
   }
 
   test("ann: all-pairs baseline fails fast past its size guard") {
@@ -434,6 +490,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Queries.releaseCaches(s)
     assert(s.sparkContext.getPersistentRDDs.isEmpty,
       s.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
+
+  test("coverage registry: capped operators record queryable rows; degradation flips status") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    try {
+      // registered executions record rows (the persisted observability —
+      // VERDICT r5 item 2: queryable after the run, not stdout-only)
+      graft.Queries.all("d10_embed_dup")(s, "/root/testdata/sf0.001").count()
+      graft.Queries.all("d11_simhash_pairs")(s, "/root/testdata/sf0.001").count()
+      graft.Queries.all("e3_cosine_ivf")(s, "/root/testdata/sf0.001").count()
+      assert(Coverage.latest("d10_embed_dup").exists(_.kind == "bucket_coverage"))
+      assert(Coverage.latest("d11_simhash_pairs").exists(_.kind == "band_coverage"))
+      assert(Coverage.latest("e3_cosine_ivf").exists(_.kind == "ivf_list_balance"))
+      assert(Coverage.latest("d10_embed_dup").exists(_.status == "ok"))
+      // degraded case: identical-fingerprint clones where the cap drops
+      // every key — the status column must flip, not just a fraction move
+      val clones = (1L to 300L).map(i => (i, "same boilerplate text everywhere"))
+        .toDF("doc_id", "text")
+      val keys = Dedup.simhashBandKeys(Dedup.simhashPortableDf(clones))
+      val row = Coverage.record("spec_degraded", "band_coverage",
+        Dedup.simhashBandCoverage(keys, maxBucketSize = 50))
+      assert(row.getAs[String]("status") == "degraded", row.toString)
+      assert(row.getAs[Double]("dropped_key_fraction") == 1.0, row.toString)
+      assert(Coverage.latest("spec_degraded").exists(_.status == "degraded"))
+      // the registry is queryable as a table (what Verify persists)
+      val tbl = Coverage.table(s)
+      assert(tbl.filter(col("query") === "spec_degraded" && col("status") === "degraded").count() == 1)
+      assert(tbl.filter(col("query") === "d10_embed_dup").count() >= 1)
+    } finally graft.Queries.releaseCaches(s)
   }
 
   test("streaming: windowed counts with watermark over MemoryStream") {
