@@ -448,10 +448,14 @@ object Queries {
   /** LSH-bucketed approximate cosine top-k over the PRECOMPUTED signature
     * table (the amortized regime — a one-shot inline signature pass loses
     * to brute force below ~nTables·nBits queries, see
-    * [[graft.spark.Ann.signatureTable]]). The DuckDB oracle replays the
-    * full probe (portable sign family → per-table bucket join → exact
-    * cosine → per-query top-k), so the check is rows+schema+hash; recall
-    * vs the exact baseline is additionally asserted in OpsSpec.
+    * [[graft.spark.Ann.signatureTable]]), with Hamming-1 MULTI-PROBE on
+    * the query side: each query also probes the nBits neighbor buckets
+    * per table, lifting recall at fixed table count for only a larger
+    * broadcast query index — the candidate scan stays map-only. The
+    * DuckDB oracle replays the full probe (portable sign family →
+    * per-table Hamming ≤ 1 bucket join → exact cosine → per-query
+    * top-k), so the check is rows+schema+hash; recall vs the exact
+    * baseline is additionally asserted in OpsSpec.
     */
   def e2_cosine_lsh(s: SparkSession, dir: String): DataFrame = {
     val sig = embSignatures(s, dir)
@@ -459,7 +463,7 @@ object Queries {
     // parquet scan of the embeddings corpus for a 5-row query set
     val queries = sig.filter($"vec_id" < 5).select($"vec_id", $"v".as("embedding"))
     graft.spark.Ann.lshCosineTopKPrecomputed(sig, queries,
-        k = 5, nTables = 16, nBits = 8)
+        k = 5, nTables = 16, nBits = 8, probeHamming = 1)
       .orderBy($"query_id", $"rk")
   }
 
@@ -778,7 +782,8 @@ object Queries {
     "d10_embed_dup" -> d10BucketedOracleSql(
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),
-    "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5),
+    "e2_cosine_lsh" -> e2LshOracleSql(nTables = 16, nBits = 8, dims = 64, k = 5,
+      probeHamming = 1),
     "e3_cosine_ivf" -> e3IvfOracleSql(nLists = ivfLists, nProbe = ivfProbe, k = 5,
       iters = ivfIters, dims = 64),
     "m1_media_features" ->
@@ -941,11 +946,15 @@ object Queries {
 
   /** DuckDB replay of the e2 precomputed-signature ANN probe: per-table
     * FULL nBits-bit buckets (the stored signature), query side restricted
-    * to vec_id < 5, bucket-colliding candidates deduped, exact cosine,
-    * per-query top-k with the same (cosine DESC, vec_id ASC) tiebreak —
-    * mirroring [[graft.spark.Ann.lshCosineTopKPrecomputed]] exactly.
+    * to vec_id < 5, candidates within Hamming ≤ `probeHamming` of the
+    * query's bucket (multi-probe — the engine registers neighbor buckets
+    * in the query index; set-equivalently the oracle relaxes the bucket
+    * equi-join to a popcount bound) deduped, exact cosine, per-query
+    * top-k with the same (cosine DESC, vec_id ASC) tiebreak — mirroring
+    * [[graft.spark.Ann.lshCosineTopKPrecomputed]] exactly.
     */
-  private def e2LshOracleSql(nTables: Int, nBits: Int, dims: Int, k: Int): String = {
+  private def e2LshOracleSql(nTables: Int, nBits: Int, dims: Int, k: Int,
+      probeHamming: Int = 0): String = {
     def bucketExpr(t: Int): String =
       (0 until nBits).map(h =>
         s"(CASE WHEN list_dot_product(v, ${signVecSql(t, h, dims)}) >= 0 THEN ${1L << h} ELSE 0 END)")
@@ -962,7 +971,9 @@ object Queries {
        |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)),
        |cand AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-       |  FROM keys q JOIN keys c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  FROM keys q JOIN keys c ON q.t = c.t
+       |    AND bit_count(xor(q.bucket, c.bucket)) <= $probeHamming
+       |    AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 5
        |  GROUP BY 1, 2),
        |scored AS (

@@ -456,9 +456,17 @@ object Ann {
     * batch pays only index-probe + colliding-pair scoring. This is the
     * regime where sign-LSH beats brute force even for small query sets —
     * see the crossover note on [[signatureTable]].
+    *
+    * `probeHamming` enables MULTI-PROBE: the query side also registers
+    * every bucket within Hamming distance ≤ probeHamming of its own
+    * signature (per table), lifting recall at a FIXED table count — a
+    * near neighbor that flips one projection sign still collides. The
+    * cost is query-index size only (× Σ C(nBits, d)); the candidate scan
+    * stays map-only with the same O(1) per-table lookup, so the scale
+    * shape is unchanged. probeHamming = 0 is the classic single-probe.
     */
   def lshCosineTopKPrecomputed(sigTable: DataFrame, queries: DataFrame, k: Int,
-      nTables: Int = 8, nBits: Int = 8,
+      nTables: Int = 8, nBits: Int = 8, probeHamming: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = sigTable.sparkSession
     import spark.implicits._
@@ -472,18 +480,38 @@ object Ann {
     val qRows = queries.select(Dedup.requireLongId(col(idCol), "lshCosineTopKPrecomputed"),
         asDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect()
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming=$probeHamming: multi-probe past Hamming 2 explodes the " +
+        "query index combinatorially — add tables instead")
     val qIndex = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Double], Double)]]()
+    def register(key: Long, entry: (Long, Array[Double], Double)): Unit = {
+      val boxed = java.lang.Long.valueOf(key)
+      val prev = qIndex.get(boxed)
+      qIndex.put(boxed, if (prev == null) Array(entry) else prev :+ entry)
+    }
     // zero-norm queries: no defined cosine — leave them out of the index
     qRows.withFilter { case (_, qv) => qv.exists(_ != 0.0) }.foreach { case (qid, qv) =>
       val arr = qv.toArray
       val nrm = math.sqrt(dotJvm(arr, arr))
       val bits = signBitsJvm(arr, nTables, nBits)
+      val entry = (qid, arr, nrm)
       var t = 0
       while (t < nTables) {
-        val key = java.lang.Long.valueOf(bucketKey(t, bits(t), nBits))
-        val prev = qIndex.get(key)
-        val entry = (qid, arr, nrm)
-        qIndex.put(key, if (prev == null) Array(entry) else prev :+ entry)
+        register(bucketKey(t, bits(t), nBits), entry)
+        if (probeHamming >= 1) {
+          var b = 0
+          while (b < nBits) {
+            register(bucketKey(t, bits(t) ^ (1L << b), nBits), entry)
+            if (probeHamming >= 2) {
+              var b2 = b + 1
+              while (b2 < nBits) {
+                register(bucketKey(t, bits(t) ^ (1L << b) ^ (1L << b2), nBits), entry)
+                b2 += 1
+              }
+            }
+            b += 1
+          }
+        }
         t += 1
       }
     }

@@ -192,6 +192,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sig.unpersist()
   }
 
+  test("ann: Hamming-1 multi-probe lifts precomputed-LSH recall at fixed table count") {
+    val s = spark
+    import s.implicits._
+    // uniform random vectors: a query's true top-k sit at cosine ~0.6-0.7,
+    // where single-probe sign-LSH misses often (each of the 8 bits flips
+    // w.p. ~arccos(c)/pi) — the regime multi-probe exists for. Clustered
+    // corpora saturate recall at 1.0 for both and show nothing.
+    val rng = new scala.util.Random(31)
+    val vecs = (0 until 1000).map(i =>
+      (i.toLong, Seq.fill(24)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val sig = Ann.signatureTable(vecs, nTables = 16, nBits = 8).persist()
+    try {
+      sig.count()
+      val exact = Ann.cosineTopK(vecs, queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def pairs(ph: Int) = Ann.lshCosineTopKPrecomputed(sig, queries, 10,
+          nTables = 16, nBits = 8, probeHamming = ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val single = pairs(0)
+      val multi = pairs(1)
+      val rSingle = (exact & single).size.toDouble / exact.size
+      val rMulti = (exact & multi).size.toDouble / exact.size
+      info(f"recall@10: single-probe=$rSingle%.3f multi-probe(H1)=$rMulti%.3f")
+      // candidate supersets can only move the approx top-k TOWARD exact
+      assert((exact & multi).size >= (exact & single).size)
+      // and on this corpus the lift is real and large
+      assert(rMulti >= 0.95, f"multi-probe recall $rMulti%.3f")
+      assert(rMulti >= rSingle + 0.1, f"no lift: single=$rSingle%.3f multi=$rMulti%.3f")
+    } finally sig.unpersist()
+  }
+
   test("simhashPortableJvm is bit-identical to the Catalyst column formulation") {
     val s = spark
     import s.implicits._
