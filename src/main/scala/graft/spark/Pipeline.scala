@@ -245,21 +245,21 @@ object Pipeline {
     import spark.implicits._
     val (exDs, stats) = extractWithStats(docs, cfg)
     val out = exDs.withColumn("part_key", Lineage.partKey(col("doc_id"), nParts))
-    if (resume) io.append(out, outPath) else io.write(out, outPath)
+    // sink + lineage sidecar go through the TableIO commit seam as one
+    // logical commit: the sidecar (≤ nParts rows — O(nParts) restart via
+    // [[Lineage.doneSet]] instead of re-scanning a tens-of-TB output)
+    // derives from the COMMITTED table and is always a full overwrite, so
+    // a resumed run's sidecar covers the union of every run so far. The
+    // crash window between the two writes is part of the documented
+    // contract — see [[TableIO.commitWithSidecar]].
+    val written = io.commitWithSidecar(out, outPath,
+      committed => Lineage.fromOutput(committed, runId).toDF(),
+      "lineage", resume)
     // the sink write is the action that ran the plan → gate stats are live
     println(s"[extract] run=$runId oversize_docs=${stats.nOversize.value} " +
       s"gate_wait_ms=${stats.gateWaitMs.value}")
-    val written = io.read(spark, outPath)
     val extracted = written.drop("part_key").as[ExtractedDoc]
-    // persist the (≤ nParts rows) lineage BESIDE the sink: a restart then
-    // derives its done-set from this sidecar in O(nParts)
-    // ([[Lineage.doneSet]]) instead of re-scanning the committed output,
-    // which at corpus scale is itself tens of TB. Always a full overwrite:
-    // lineage derives from the whole committed table, so a resumed run's
-    // sidecar covers the union of every run so far.
-    val sidecar = io.sidecar(outPath, "lineage")
-    io.write(Lineage.fromOutput(written, runId).toDF(), sidecar)
-    (extracted, io.read(spark, sidecar).as[LineageRow])
+    (extracted, io.read(spark, io.sidecar(outPath, "lineage")).as[LineageRow])
   }
 
   /** Extraction quality metrics: one row per status with counts and text

@@ -39,6 +39,35 @@ trait TableIO {
     */
   def countRows(spark: SparkSession, table: String): Long =
     read(spark, table).count()
+
+  /** Commit `main` plus its derived sidecar as ONE LOGICAL COMMIT from
+    * the resume contract's point of view. `sidecarOf` receives the
+    * COMMITTED table (sidecar content derives from committed state only —
+    * the exactly-once-under-retry property). Returns the committed table.
+    *
+    * Default implementation: sink first, then sidecar overwrite. A crash
+    * between the two leaves a STALE sidecar — that window is part of the
+    * contract, defended downstream: [[Lineage.doneSet]] validates the
+    * sidecar against the sink's metadata row count and falls back to the
+    * committed-output scan on any mismatch (crash-window contract-tested
+    * for both the parquet and catalog implementations in PipelineSpec).
+    * The sink-THEN-sidecar order is load-bearing: the reverse order could
+    * leave a sidecar claiming buckets the sink never committed, which the
+    * count probe would also catch — but only by discarding resume
+    * savings on every crash instead of only sidecar-window crashes.
+    * A catalog backend with real multi-table transactions (e.g. an
+    * Iceberg REST catalog) overrides this to commit both tables in one
+    * transaction; the stock Spark API exposes no such commit, so the
+    * default encodes ordering + validation rather than pretending
+    * atomicity it cannot have.
+    */
+  def commitWithSidecar(main: DataFrame, table: String,
+      sidecarOf: DataFrame => DataFrame, suffix: String, resume: Boolean): DataFrame = {
+    if (resume) append(main, table) else write(main, table)
+    val written = read(main.sparkSession, table)
+    write(sidecarOf(written), sidecar(table, suffix))
+    written
+  }
 }
 
 /** Parquet-backed implementation: table name = directory path. */

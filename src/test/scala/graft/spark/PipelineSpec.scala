@@ -363,6 +363,69 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("catalog crash window between sink commit and sidecar write: resume stays exact") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 12, nPartitions = 2)
+    val tbl = "graft_crash_sink"
+    var crashSidecar = false
+    final class SimCrash extends RuntimeException("simulated crash before sidecar commit")
+    // CatalogTableIO via composition (it is final), with a kill switch on
+    // the sidecar write — the exact non-atomic window commitWithSidecar
+    // documents
+    val io: TableIO = new TableIO {
+      private val inner = new CatalogTableIO
+      override def read(sp: SparkSession, t: String) = inner.read(sp, t)
+      override def write(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
+        if (crashSidecar && t.endsWith("_lineage")) throw new SimCrash
+        inner.write(df, t)
+      }
+      override def append(df: org.apache.spark.sql.DataFrame, t: String): Unit = inner.append(df, t)
+      override def countRows(sp: SparkSession, t: String) = inner.countRows(sp, t)
+    }
+    try {
+      // run 1: clean commit of buckets 0..3 (sink + sidecar)
+      val firstHalf = docs.toDF().filter(Lineage.partKey(col("doc_id"), nParts) < 4).as[Doc]
+      val (_, lineage1) = Pipeline.extractToSink(firstHalf, "run-1", tbl,
+        Pipeline.Config(nSalts = 4), nParts, io)
+      val n1 = spark.table(tbl).count()
+      // run 2 (resume): sink APPEND commits, then the process dies before
+      // the sidecar overwrite — sidecar left STALE (still claims run-1 only)
+      val rem1 = Lineage.resumeFilter(docs.toDF(), lineage1.toDF(), nParts).as[Doc]
+      crashSidecar = true
+      intercept[SimCrash] {
+        Pipeline.extractToSink(rem1, "run-2", tbl,
+          Pipeline.Config(nSalts = 4), nParts, io, resume = true)
+      }
+      crashSidecar = false
+      val committed = spark.table(tbl).count()
+      assert(committed == 12, s"run-2 sink append must have committed: $committed")
+      // run 3 (resume after the crash): doneSet must DISTRUST the stale
+      // sidecar (count probe mismatch: sidecar says run-1 rows, sink has
+      // run-1 + run-2), fall back to the committed-output scan, and find
+      // every bucket done — the resume appends NOTHING and no doc ever
+      // duplicates. This is the crash-window exactness contract.
+      val done = Lineage.doneSet(io, spark, tbl)
+      assert(done.isDefined)
+      val rem2 = Lineage.resumeFilter(docs.toDF(), done.get, nParts)
+      assert(rem2.count() == 0, s"stale sidecar trusted: ${rem2.count()} docs re-extracted")
+      val (_, lineage3) = Pipeline.extractToSink(rem2.as[Doc], "run-3", tbl,
+        Pipeline.Config(nSalts = 4), nParts, io, resume = true)
+      assert(spark.table(tbl).count() == 12)
+      assert(spark.table(tbl).select("doc_id").distinct().count() == 12,
+        "crash-window resume duplicated docs")
+      // run-3's clean commit also HEALED the sidecar: next resume is
+      // O(nParts) again and covers everything
+      assert(lineage3.collect().map(_.n_docs).sum == 12)
+      assert(io.countRows(spark, io.sidecar(tbl, "lineage")) > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_lineage")
+    }
+  }
+
   test("TableIO parquet seam round-trips a table") {
     val s = spark
     import s.implicits._
