@@ -364,6 +364,85 @@ object Queries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Whitespace-token word array of a document — the shared tokenization
+    * of the word-level ops (d12/d13), identical to d2's token split.
+    */
+  private def wordArray(text: Column): Column =
+    filter(split(trim(text), graft.spark.Dedup.WsPattern), x => x =!= "")
+
+  /** Word-level repetition signals (the Gopher-style repetition filters a
+    * pretraining pipeline gates on): distinct-word fraction, top-word
+    * fraction, and top / duplicated word-bigram fractions per document.
+    * Heavily repetitive documents (boilerplate, keyword stuffing, template
+    * spam) light up exactly these ratios.
+    *
+    * Shape at scale: explode → two-level keyed agg, every shuffle keyed on
+    * doc_id (bounded cardinality per key = the document's own token count,
+    * map-side combined), then doc-level broadcast-free joins on the SAME
+    * doc_id key — no all-pairs stage anywhere. Docs with zero tokens (or
+    * < 2 for the bigram side) keep a row via the left joins, fractions
+    * coalesced to 0 — "no signal" is a score of zero, not a dropped
+    * document.
+    */
+  def d12_repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select($"doc_id", wordArray($"text").as("ws"))
+    val words = base.select($"doc_id", explode($"ws").as("w"))
+    val wc = words.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
+    val topw = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_word"))
+    val bigrams = base.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ws") - 1),
+        i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1)))).as("g"))
+    val bg = bigrams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        max($"c").as("top2"),
+        sum($"c").as("tot2"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup2"))
+    t(s, dir, "documents").select($"doc_id")
+      .join(wc, Seq("doc_id"), "left")
+      .join(topw, Seq("doc_id"), "left")
+      .join(bg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        round(coalesce($"n_distinct".cast("double") / $"n_words", lit(0.0)), 4).as("distinct_word_frac"),
+        round(coalesce($"top_word".cast("double") / $"n_words", lit(0.0)), 4).as("top_word_frac"),
+        round(coalesce($"top2".cast("double") / $"tot2", lit(0.0)), 4).as("top_2gram_frac"),
+        round(coalesce($"dup2".cast("double") / $"tot2", lit(0.0)), 4).as("dup_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-overlap decontamination: flag corpus documents sharing any
+    * word 4-gram with a held-out benchmark set (here: doc_id % 97 == 0 as
+    * the deterministic stand-in for an eval suite — at 100 TB the bench
+    * n-grams come from the actual benchmark corpora). THE standard
+    * eval-contamination gate run before pretraining.
+    *
+    * Shape at scale: the benchmark n-gram set is small by contract (eval
+    * suites are O(10^6) n-grams vs a 10^12-doc corpus) → broadcast hash
+    * join against the exploded corpus n-grams, map-only; the only shuffle
+    * is the per-doc hit count keyed on doc_id. If a benchmark set ever
+    * outgrew broadcast, the same plan shuffle-joins on the n-gram key —
+    * the operator shape is unchanged.
+    */
+  def d13_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = 4
+    val grams = t(s, dir, "documents")
+      .select($"doc_id", wordArray($"text").as("ws"))
+      .filter(size($"ws") >= n)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ws") - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at($"ws", i + o)): _*))).as("g"))
+    val bench = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("n_hits"), min($"g").as("sample_gram"))
+      .orderBy($"doc_id")
+  }
+
   /** Session-scoped cache of the sign-LSH signature table over the
     * embeddings corpus: the REUSABLE artifact shared by d10 (bucketed
     * near-dup self-join) and e2 (precomputed ANN probes) — in production
@@ -615,6 +694,8 @@ object Queries {
     "d9_simhash" -> (d9_simhash _),
     "d10_embed_dup" -> (d10_embed_dup _),
     "d11_simhash_pairs" -> (d11_simhash_pairs _),
+    "d12_repetition" -> (d12_repetition _),
+    "d13_decontaminate" -> (d13_decontaminate _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
     "e3_cosine_ivf" -> (e3_cosine_ivf _),
@@ -779,6 +860,52 @@ object Queries {
           |  GROUP BY 1, 2, 3)
           |SELECT doc_a, doc_b, hamming FROM pairs
           |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    "d12_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        |wc AS (
+        |  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        |  FROM words GROUP BY doc_id),
+        |topw AS (
+        |  SELECT doc_id, max(c) AS top_word FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |bigrams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM base WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS top2, sum(c) AS tot2,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(wc.n_words, 0) AS BIGINT) AS n_words,
+        |  round(coalesce(CAST(wc.n_distinct AS DOUBLE) / wc.n_words, 0.0), 4) AS distinct_word_frac,
+        |  round(coalesce(CAST(topw.top_word AS DOUBLE) / wc.n_words, 0.0), 4) AS top_word_frac,
+        |  round(coalesce(CAST(bg.top2 AS DOUBLE) / bg.tot2, 0.0), 4) AS top_2gram_frac,
+        |  round(coalesce(CAST(bg.dup2 AS DOUBLE) / bg.tot2, 0.0), 4) AS dup_2gram_frac
+        |FROM documents d
+        |LEFT JOIN wc USING (doc_id) LEFT JOIN topw USING (doc_id)
+        |LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d13_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+        |  FROM base WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT grams.doc_id, count(DISTINCT g) AS n_hits, min(g) AS sample_gram
+        |FROM grams JOIN bench USING (g)
+        |WHERE grams.doc_id % 97 <> 0
+        |GROUP BY grams.doc_id ORDER BY grams.doc_id""".stripMargin,
     "d10_embed_dup" -> d10BucketedOracleSql(
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),

@@ -555,6 +555,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.Queries.releaseCaches(s)
   }
 
+  test("word ops: d12 repetition fractions and d13 benchmark contamination match hand-computed values") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wordops").toString
+    try {
+      // d12 hand corpus: fractions computable on paper
+      Seq(
+        (1L, "a a a b"), // top word 3/4, bigrams {a a: 2, a b: 1}
+        (2L, "x y"),
+        (3L, ""), // zero tokens: scored 0, not dropped
+        (4L, "solo") // no bigrams: bigram fracs 0
+      ).toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val d12 = graft.Queries.d12_repetition(s, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+      assert(d12(1L) == ((4L, 0.5, 0.75, 0.6667, 0.6667)), d12(1L).toString)
+      assert(d12(2L) == ((2L, 1.0, 0.5, 1.0, 0.0)), d12(2L).toString)
+      assert(d12(3L) == ((0L, 0.0, 0.0, 0.0, 0.0)), d12(3L).toString)
+      assert(d12(4L) == ((1L, 1.0, 1.0, 0.0, 0.0)), d12(4L).toString)
+
+      // d13 hand corpus: doc 0 is the benchmark (0 % 97 == 0); doc 1
+      // contains two of its 4-grams; doc 2 shares nothing
+      Seq(
+        (0L, "p q r s t"),
+        (1L, "z p q r s t z"),
+        (2L, "no overlap in here at all")
+      ).toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val d13 = graft.Queries.d13_decontaminate(s, dir).collect()
+      assert(d13.length == 1, d13.mkString(", "))
+      assert(d13(0).getLong(0) == 1L && d13(0).getLong(1) == 2L &&
+        d13(0).getString(2) == "p q r s", d13(0).toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming: windowed counts with watermark over MemoryStream") {
     val s = spark
     import s.implicits._
