@@ -44,6 +44,28 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup at ingest: drop documents whose normalized
+    * text (lowercase + whitespace collapse — the same ONE normalization
+    * definition as the batch d5 fingerprint, [[graft.spark.Dedup]]) was
+    * already seen within the watermark horizon. This is the ingest-side
+    * near-dup gate a crawl pipeline runs BEFORE paying for extraction:
+    * re-crawls and boilerplate mirrors arrive as distinct doc_ids with
+    * identical content, so id-level dedup ([[dedupEvents]]) misses them.
+    * State is keyed by the 128-bit fingerprint and watermark-bounded —
+    * the only way content-dedup state stays finite on an unbounded
+    * stream; the batch twins (d1 exact-hash groupBy, d5 fingerprint) do
+    * the full-corpus version of the same key.
+    *
+    * Expects columns (doc_id, ts, text); emits the input rows minus
+    * within-horizon content duplicates, plus the fingerprint column.
+    */
+  def dedupDocsByFingerprint(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(col("text")), graft.spark.Dedup.WsPattern, " ")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Custom sessionization with explicit state: per-user sessions closed
     * after 30 minutes of inactivity (KeyValueGroupedDataset +
     * flatMapGroupsWithState, SURVEY prompt requirement for custom state).

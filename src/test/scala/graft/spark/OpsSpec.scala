@@ -634,6 +634,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("streaming: content dedup drops same-normalized-text docs across distinct doc_ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.EventStream.dedupDocsByFingerprint(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L * 96 + min * 60_000L)
+    mem.addData(
+      (1L, ts(0), "The Quick  Brown fox"),
+      (2L, ts(0), "the quick brown fox"), // normalization twin of 1 — dropped
+      (3L, ts(1), "something else entirely"))
+    q.processAllAvailable()
+    // cross-batch re-crawl under yet another doc_id, still within horizon
+    mem.addData((4L, ts(2), "THE QUICK\tBROWN FOX"), (5L, ts(3), "fresh content"))
+    q.processAllAvailable()
+    val kept = s.sql("select doc_id from dedup_docs").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(kept.toSeq == Seq(1L, 3L, 5L), s"got ${kept.toSeq}")
+    // the streaming fingerprint IS the batch d5 definition — one
+    // normalization (Dedup.normalizeJvm ≡ column form, spec'd elsewhere)
+    // then md5, so stream and corpus dedup share the key space
+    val fp = s.sql("select distinct fingerprint from dedup_docs where doc_id = 1")
+      .collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("the quick brown fox"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    assert(fp == expect, s"$fp != $expect")
+  }
+
   test("streaming: incremental extraction matches the batch pipeline result") {
     implicit val s: SparkSession = spark
     import s.implicits._
