@@ -378,8 +378,10 @@ object Queries {
     *
     * Shape at scale: explode → two-level keyed agg, every shuffle keyed on
     * doc_id (bounded cardinality per key = the document's own token count,
-    * map-side combined), then doc-level broadcast-free joins on the SAME
-    * doc_id key — no all-pairs stage anywhere. Docs with zero tokens (or
+    * map-side combined), then doc-level joins on the SAME doc_id key (AQE
+    * broadcasts the one-row-per-doc aggregates at test scale; at corpus
+    * scale they shuffle-join on doc_id) — no all-pairs stage anywhere.
+    * Docs with zero tokens (or
     * < 2 for the bigram side) keep a row via the left joins, fractions
     * coalesced to 0 — "no signal" is a score of zero, not a dropped
     * document.
