@@ -445,6 +445,36 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Source-weighted corpus mixing (the data-mixing step of a pretraining
+    * pipeline: each domain/source is sampled at its own rate so the final
+    * mixture matches target proportions). Rates and the keep/drop decision
+    * are both pure hash functions of the data, so the mix is deterministic,
+    * resumable, and cross-engine replayable:
+    *   - mix_rate(source) = (1 + first md5 byte of source) / 256 — the
+    *     deterministic stand-in for a real weights table (at 100 TB the
+    *     rates come from the mixture spec; the operator shape is the same
+    *     broadcast-joinable per-source lookup);
+    *   - keep(doc) iff u60(doc_id) < rate, compared in INTEGERS
+    *     (u60 < (byte+1)·2^52 — no float anywhere in the decision, so no
+    *     engine can round differently).
+    * Registered output is the per-source mixing report (rate, docs, kept);
+    * the sampled corpus itself is the same filter without the agg —
+    * map-only, NO shuffle at all over the corpus (the report's one agg is
+    * keyed on the bounded source set).
+    */
+  def d14_source_mix(s: SparkSession, dir: String): DataFrame = {
+    val u60 = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long")
+    val byte = conv(substring(md5($"source"), 1, 2), 16, 10).cast("long")
+    t(s, dir, "documents")
+      .select($"source", u60.as("x"), byte.as("y"))
+      .groupBy($"source")
+      .agg(
+        round((max($"y") + 1).cast("double") / 256.0, 6).as("mix_rate"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"x" < ($"y" + 1) * 4503599627370496L, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   /** Session-scoped cache of the sign-LSH signature table over the
     * embeddings corpus: the REUSABLE artifact shared by d10 (bucketed
     * near-dup self-join) and e2 (precomputed ANN probes) — in production
@@ -698,6 +728,7 @@ object Queries {
     "d11_simhash_pairs" -> (d11_simhash_pairs _),
     "d12_repetition" -> (d12_repetition _),
     "d13_decontaminate" -> (d13_decontaminate _),
+    "d14_source_mix" -> (d14_source_mix _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
     "e3_cosine_ivf" -> (e3_cosine_ivf _),
@@ -908,6 +939,17 @@ object Queries {
         |FROM grams JOIN bench USING (g)
         |WHERE grams.doc_id % 97 <> 0
         |GROUP BY grams.doc_id ORDER BY grams.doc_id""".stripMargin,
+    "d14_source_mix" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS x,
+        |    ('0x' || substring(md5(source), 1, 2))::BIGINT AS y
+        |  FROM documents)
+        |SELECT source,
+        |  round(CAST(max(y) + 1 AS DOUBLE) / 256.0, 6) AS mix_rate,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN x < (y + 1) * 4503599627370496 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "d10_embed_dup" -> d10BucketedOracleSql(
       nTables = 16, bucketBits = d10LastBits.get(), dims = 64,
       cap = d10Cap, threshold = d10Threshold),

@@ -592,6 +592,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("word ops: d14 source mix matches a JVM replay of the integer hash decision; rate-1.0 keeps all") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    try {
+      // src-134 has md5 first byte 0xff → rate (255+1)/256 = 1.0 (keep all);
+      // src-988 has first byte 0x00 → rate 1/256 (keep almost none)
+      val docs = (0L until 64L).map(i => (i, s"doc $i", if (i % 2 == 0) "src-134" else "src-988"))
+      docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.Queries.d14_source_mix(s, dir).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      // JVM replay of the exact integer decision (no float anywhere)
+      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+      def expected(source: String): (Double, Long, Long) = {
+        val y = java.lang.Long.parseLong(md5hex(source).substring(0, 2), 16)
+        val mine = docs.filter(_._3 == source)
+        val kept = mine.count { case (id, _, _) =>
+          java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16) < (y + 1) * 4503599627370496L
+        }
+        (math.rint((y + 1) / 256.0 * 1e6) / 1e6, mine.size.toLong, kept.toLong)
+      }
+      assert(got("src-134") == expected("src-134"), s"${got("src-134")} vs ${expected("src-134")}")
+      assert(got("src-988") == expected("src-988"), s"${got("src-988")} vs ${expected("src-988")}")
+      assert(got("src-134")._3 == 32L, "rate 1.0 must keep every doc")
+      assert(got("src-988")._3 <= 2L, s"rate 1/256 kept ${got("src-988")._3} of 32")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming: windowed counts with watermark over MemoryStream") {
     val s = spark
     import s.implicits._
