@@ -68,6 +68,44 @@ trait TableIO {
     write(sidecarOf(written), sidecar(table, suffix))
     written
   }
+
+  /** Drop a table (compaction staging cleanup). */
+  def drop(spark: SparkSession, table: String): Unit
+
+  /** Compact `table` into `targetPartitions` output partitions — the
+    * small-files maintenance a long-lived appended sink needs: every
+    * resumed run appends its own file set, and at 10^12-doc scale an
+    * uncompacted sink's file count (and with it scan planning time and
+    * per-file open cost) grows without bound. Content is preserved
+    * EXACTLY, so content-derived sidecars (the `_lineage` resume
+    * contract) remain valid — [[Lineage.doneSet]]'s count probe passes
+    * before and after.
+    *
+    * Default implementation (catalog backends): stage the coalesced scan
+    * as a sibling staging table, validate its row count against the
+    * source's metadata count, then atomically replace `table` from
+    * staging (RTAS — atomic on Iceberg, the production path) and drop
+    * staging. A crash before the replace leaves `table` untouched; after
+    * it, staging is garbage a later compact run overwrites.
+    * The parquet implementation overrides with a rename swap (no second
+    * data write, dir-nested sidecars preserved — see [[ParquetTableIO]]).
+    *
+    * Returns (rows, partitions-or-files after) for the caller's
+    * observability surface ([[graft.spark.Coverage]]).
+    */
+  def compact(spark: SparkSession, table: String, targetPartitions: Int): (Long, Long) = {
+    require(targetPartitions > 0, s"targetPartitions=$targetPartitions")
+    val staging = table + "__compacting"
+    val before = countRows(spark, table)
+    write(read(spark, table).coalesce(targetPartitions), staging)
+    require(countRows(spark, staging) == before,
+      s"compact: staging row count != $before for $table — aborting before replace")
+    write(read(spark, staging), table)
+    drop(spark, staging)
+    val after = countRows(spark, table)
+    require(after == before, s"compact: $table has $after rows after replace, expected $before")
+    (before, targetPartitions.toLong)
+  }
 }
 
 /** Parquet-backed implementation: table name = directory path. */
@@ -86,6 +124,60 @@ final class ParquetTableIO(root: String = "") extends TableIO {
 
   override def sidecar(table: String, suffix: String): String =
     table + "/_" + suffix
+
+  override def drop(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Parquet compaction: ONE data write + a rename swap.
+    *
+    *   1. write the coalesced scan to a sibling staging dir,
+    *   2. validate staging's footer count against the source's,
+    *   3. swap: `table` → `table__pre_compact`, staging → `table`, move
+    *      the old dir's `_*` sidecar subdirs (lineage etc.) into the new
+    *      one (renames, not copies), drop `__pre_compact`.
+    *
+    * Crash recovery is by directory presence, every window re-runnable:
+    * before step 3 the source is untouched (staging is garbage); a crash
+    * inside step 3 leaves `__pre_compact` holding the original — restore
+    * is a rename back. Sidecars survive by rename, and stay VALID because
+    * compaction preserves content exactly (the `_lineage` count probe
+    * passes unchanged). Returns (rows, data files after).
+    */
+  override def compact(spark: SparkSession, table: String,
+      targetPartitions: Int): (Long, Long) = {
+    require(targetPartitions > 0, s"targetPartitions=$targetPartitions")
+    import org.apache.hadoop.fs.Path
+    val main = new Path(path(table))
+    val staging = new Path(path(table + "__compacting"))
+    val pre = new Path(path(table + "__pre_compact"))
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(pre),
+      s"compact: $pre exists — a previous compaction crashed mid-swap; " +
+        "restore it (rename back over the target) before compacting again")
+    val before = countRows(spark, table)
+    write(read(spark, table).coalesce(targetPartitions), table + "__compacting")
+    require(countRows(spark, table + "__compacting") == before,
+      s"compact: staging row count != $before for $table — aborting before swap")
+    val sidecars = fs.listStatus(main)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+    require(fs.rename(main, pre), s"compact: rename $main -> $pre failed")
+    require(fs.rename(staging, main), s"compact: rename $staging -> $main failed")
+    sidecars.foreach { name =>
+      require(fs.rename(new Path(pre, name), new Path(main, name)),
+        s"compact: sidecar $name move failed — sink is compacted and valid, " +
+          "sidecar recoverable under " + pre)
+    }
+    val after = countRows(spark, table)
+    require(after == before, s"compact: $table has $after rows after swap, expected $before")
+    fs.delete(pre, true)
+    val nFiles = fs.listStatus(main)
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    (before, nFiles.toLong)
+  }
 }
 
 /** Catalog-backed implementation for production (Iceberg/Hive): table
@@ -120,6 +212,9 @@ final class CatalogTableIO extends TableIO {
             e.getCondition == "_LEGACY_ERROR_TEMP_1012" =>
         df.write.mode("append").saveAsTable(table)
     }
+
+  override def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
 }
 
 object TableIO {

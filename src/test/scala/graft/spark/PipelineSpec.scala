@@ -196,6 +196,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       override def append(df: org.apache.spark.sql.DataFrame, table: String): Unit = inner.append(df, table)
       override def sidecar(table: String, suffix: String) = inner.sidecar(table, suffix)
       override def countRows(sp: SparkSession, table: String) = { metaProbes += 1; inner.countRows(sp, table) }
+      override def drop(sp: SparkSession, table: String): Unit = inner.drop(sp, table)
     }
     try {
       val (_, lineage) = Pipeline.extractToSink(docs, "run-1", out,
@@ -265,6 +266,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         override def append(df: org.apache.spark.sql.DataFrame, table: String): Unit =
           write(df, table)
+        override def drop(sp: SparkSession, table: String): Unit = inner.drop(sp, table)
       }
       val (extracted, lineage) = Pipeline.extractToSink(docs, "run-1", outPath,
         Pipeline.Config(nSalts = 4), nParts, io)
@@ -384,6 +386,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       override def append(df: org.apache.spark.sql.DataFrame, t: String): Unit = inner.append(df, t)
       override def countRows(sp: SparkSession, t: String) = inner.countRows(sp, t)
+      override def drop(sp: SparkSession, t: String): Unit = inner.drop(sp, t)
     }
     try {
       // run 1: clean commit of buckets 0..3 (sink + sidecar)
@@ -456,6 +459,85 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mean = n.toDouble / nSalts
     val max = counts.values.max
     assert(max <= 2 * mean, s"hot salt: max=$max mean=$mean")
+  }
+
+  test("parquet compaction: rename swap shrinks files, preserves content exactly, keeps the lineage sidecar valid") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nParts = 8
+    val docs = Corpus.generate(spark, 16, nPartitions = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val out = tmp + "/sink"
+    val io = new ParquetTableIO()
+    try {
+      // two runs → two appended file sets (the small-files growth mode)
+      val firstHalf = docs.toDF().filter(Lineage.partKey(col("doc_id"), nParts) < 4).as[Doc]
+      val (_, l1) = Pipeline.extractToSink(firstHalf, "run-1", out, Pipeline.Config(nSalts = 4), nParts, io)
+      val remaining = Lineage.resumeFilter(docs.toDF(), l1.toDF(), nParts).as[Doc]
+      Pipeline.extractToSink(remaining, "run-2", out, Pipeline.Config(nSalts = 4), nParts, io, resume = true)
+      val beforeRows = spark.read.parquet(out).orderBy("doc_id").collect()
+      def dataFiles() = new java.io.File(out).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val filesBefore = dataFiles()
+      assert(filesBefore > 2, s"harness expects a fragmented sink, got $filesBefore files")
+
+      val (rows, filesReported) = io.compact(spark, out, targetPartitions = 2)
+      assert(rows == 16L)
+      assert(dataFiles() == 2 && filesReported == 2L, s"${dataFiles()} / $filesReported")
+      // content EXACTLY preserved (same rows, any order)
+      val afterRows = spark.read.parquet(out).orderBy("doc_id").collect()
+      assert(afterRows.toSeq == beforeRows.toSeq)
+      // no swap debris
+      assert(!new java.io.File(out + "__compacting").exists())
+      assert(!new java.io.File(out + "__pre_compact").exists())
+      // the lineage sidecar survived the swap AND still validates → a
+      // resume after compaction is still the O(nParts) no-op path
+      assert(new java.io.File(out + "/_lineage").isDirectory)
+      val done = Lineage.doneSet(io, spark, out)
+      val nonEmptyBuckets = spark.read.parquet(out).select("part_key").distinct().count()
+      assert(done.isDefined && done.get.count() == nonEmptyBuckets)
+      val resumed = Lineage.resumeFilter(docs.toDF(), done.get.withColumnRenamed("part_key", "part_key"), nParts)
+      assert(resumed.count() == 0, "compaction must not reopen completed buckets")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("compaction aborts cleanly when a crashed swap left __pre_compact behind") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val out = tmp + "/sink"
+    val io = new ParquetTableIO()
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").write.parquet(out)
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(out + "__pre_compact"))
+      val e = intercept[IllegalArgumentException](io.compact(spark, out, 1))
+      assert(e.getMessage.contains("pre_compact"), e.getMessage)
+      // the sink is untouched by the refused run
+      assert(spark.read.parquet(out).count() == 2)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("catalog compaction: staging + replace preserves content through the session catalog") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val io = new CatalogTableIO
+    val tbl = "graft_compact_cat"
+    try {
+      io.write(spark.range(100).selectExpr("id AS doc_id", "concat('t', id) AS text")
+        .repartition(8), tbl)
+      val before = io.read(spark, tbl).orderBy("doc_id").collect()
+      val (rows, parts) = io.compact(spark, tbl, targetPartitions = 1)
+      assert(rows == 100L && parts == 1L)
+      assert(io.read(spark, tbl).orderBy("doc_id").collect().toSeq == before.toSeq)
+      // staging dropped
+      assert(!spark.catalog.tableExists(tbl + "__compacting"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compacting")
+    }
   }
 
   test("poison rows yield error status, never throw") {
