@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Usage (cluster):
   *   spark-submit --class graft.Submit app.jar \
   *     --in <corpus table/path> --out <sink table/path> \
-  *     [--run-id <id>] [--resume] [--parts <n>] [--catalog]
+  *     [--run-id <id>] [--resume] [--parts <n>] [--catalog] [--compact <n>]
   *
   * `--resume` derives the done-set from the persisted lineage sidecar
   * beside the sink (O(nParts) restart; validated against the sink's
@@ -77,6 +77,17 @@ object Submit {
       org.apache.spark.sql.functions.sum("n_docs"),
       org.apache.spark.sql.functions.sum("n_errors")).collect()(0)
     println(s"[submit] run=$runId docs=${rows.get(0)} errors=${rows.get(1)} sink=$out resume=$resume")
+    // --compact <n>: post-run sink maintenance — a long-lived resumed sink
+    // accumulates one file set per append; compaction bounds the file
+    // count while preserving content (and so the lineage sidecar) exactly.
+    // See [[graft.spark.TableIO.compact]] for the crash-window contract.
+    opts.get("compact").map(_.toInt).foreach { target =>
+      val (n, files) = io.compact(spark, out, target)
+      graft.spark.Coverage.record("submit_compact", "sink_compaction",
+        Seq((out, n, files)).toDF("sink", "n_rows", "n_files")
+          .withColumn("status", org.apache.spark.sql.functions.lit("ok")))
+      println(s"[submit] compacted sink=$out rows=$n files=$files")
+    }
     if (preexisting.isEmpty) spark.stop()
   }
 

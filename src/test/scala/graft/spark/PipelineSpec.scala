@@ -305,6 +305,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val second = spark.read.parquet(out)
       assert(second.count() == 20, "resume re-extracted completed buckets")
       assert(second.select("doc_id").distinct().count() == 20)
+      // --compact: post-run maintenance through the same entrypoint; a
+      // further resume after compaction still appends nothing
+      graft.Submit.main(Array("--in", in, "--out", out, "--parts", "16",
+        "--run-id", "t3", "--resume", "--compact", "2"))
+      val third = spark.read.parquet(out)
+      assert(third.count() == 20)
+      assert(new java.io.File(out).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) == 2)
+      assert(Coverage.latest("submit_compact").exists(_.status == "ok"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
