@@ -370,6 +370,35 @@ object Queries {
   private def wordArray(text: Column): Column =
     filter(split(trim(text), graft.spark.Dedup.WsPattern), x => x =!= "")
 
+  private val wordOpsMaxChars = 1000000L
+
+  /** Documents admitted to the word-level EXPLODE ops (d12/d13), behind an
+    * OBSERVED length gate: a single pathological multi-GB document explodes
+    * into 10^8+ rows that land in ONE task (a row cannot be split), the
+    * same skew class the extraction pipeline's oversize gate throttles.
+    * The gate filters on the precomputed `n_chars` column, so the
+    * predicate pushes into the parquet scan and the coverage aggregation
+    * reads one pruned column — no extra pass over `text`. Gated docs are
+    * counted into the Coverage registry every run with a status flip past
+    * 1% (no silent caps); the oracle replays the same `n_chars` predicate.
+    */
+  private def wordOpsDocs(s: SparkSession, dir: String, query: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cov = graft.spark.Coverage.record(query, "doc_length_gate",
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_chars") > wordOpsMaxChars, 1L).otherwise(0L)), lit(0L)).as("n_gated"))
+        .withColumn("gated_fraction",
+          round(col("n_gated").cast("double") /
+            greatest(col("n_docs").cast("double"), lit(1.0)), 4))
+        .withColumn("status",
+          when(col("gated_fraction") > 0.01, "degraded").otherwise("ok")))
+    if (cov.getAs[String]("status") != "ok")
+      System.err.println(s"[$query] WARNING: doc-length gate dropped " +
+        s"${cov.getAs[Long]("n_gated")} docs — see the recorded coverage row")
+    docs.filter(col("n_chars") <= wordOpsMaxChars)
+  }
+
   /** Word-level repetition signals (the Gopher-style repetition filters a
     * pretraining pipeline gates on): distinct-word fraction, top-word
     * fraction, and top / duplicated word-bigram fractions per document.
@@ -387,7 +416,8 @@ object Queries {
     * document.
     */
   def d12_repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select($"doc_id", wordArray($"text").as("ws"))
+    val admitted = wordOpsDocs(s, dir, "d12_repetition")
+    val base = admitted.select($"doc_id", wordArray($"text").as("ws"))
     val words = base.select($"doc_id", explode($"ws").as("w"))
     val wc = words.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
@@ -402,7 +432,7 @@ object Queries {
         max($"c").as("top2"),
         sum($"c").as("tot2"),
         sum(when($"c" > 1, $"c").otherwise(0L)).as("dup2"))
-    t(s, dir, "documents").select($"doc_id")
+    admitted.select($"doc_id")
       .join(wc, Seq("doc_id"), "left")
       .join(topw, Seq("doc_id"), "left")
       .join(bg, Seq("doc_id"), "left")
@@ -431,7 +461,7 @@ object Queries {
     */
   def d13_decontaminate(s: SparkSession, dir: String): DataFrame = {
     val n = 4
-    val grams = t(s, dir, "documents")
+    val grams = wordOpsDocs(s, dir, "d13_decontaminate")
       .select($"doc_id", wordArray($"text").as("ws"))
       .filter(size($"ws") >= n)
       .select($"doc_id", explode(transform(
@@ -894,10 +924,12 @@ object Queries {
           |SELECT doc_a, doc_b, hamming FROM pairs
           |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
     "d12_repetition" ->
-      """WITH base AS (
+      """WITH admitted AS (
+        |  SELECT * FROM documents WHERE n_chars <= 1000000),
+        |base AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
+        |  FROM admitted),
         |words AS (SELECT doc_id, unnest(ws) AS w FROM base),
         |wc AS (
         |  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
@@ -921,7 +953,7 @@ object Queries {
         |  round(coalesce(CAST(topw.top_word AS DOUBLE) / wc.n_words, 0.0), 4) AS top_word_frac,
         |  round(coalesce(CAST(bg.top2 AS DOUBLE) / bg.tot2, 0.0), 4) AS top_2gram_frac,
         |  round(coalesce(CAST(bg.dup2 AS DOUBLE) / bg.tot2, 0.0), 4) AS dup_2gram_frac
-        |FROM documents d
+        |FROM admitted d
         |LEFT JOIN wc USING (doc_id) LEFT JOIN topw USING (doc_id)
         |LEFT JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -929,7 +961,7 @@ object Queries {
       """WITH base AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
+        |  FROM documents WHERE n_chars <= 1000000),
         |grams AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g

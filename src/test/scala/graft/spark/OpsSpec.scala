@@ -566,8 +566,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (2L, "x y"),
         (3L, ""), // zero tokens: scored 0, not dropped
         (4L, "solo") // no bigrams: bigram fracs 0
-      ).toDF("doc_id", "text").write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
+      ).toDF("doc_id", "text")
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val d12 = graft.Queries.d12_repetition(s, dir).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
           r.getDouble(4), r.getDouble(5))).toMap
@@ -582,8 +583,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (0L, "p q r s t"),
         (1L, "z p q r s t z"),
         (2L, "no overlap in here at all")
-      ).toDF("doc_id", "text").write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
+      ).toDF("doc_id", "text")
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val d13 = graft.Queries.d13_decontaminate(s, dir).collect()
       assert(d13.length == 1, d13.mkString(", "))
       assert(d13(0).getLong(0) == 1L && d13(0).getLong(1) == 2L &&
