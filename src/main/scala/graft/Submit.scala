@@ -88,6 +88,11 @@ object Submit {
           .withColumn("status", org.apache.spark.sql.functions.lit("ok")))
       println(s"[submit] compacted sink=$out rows=$n files=$files")
     }
+    // persist everything the run's capped/gated operators recorded as a
+    // `_coverage` sidecar beside the sink — on the deployment path the
+    // registry must outlive the JVM to be "queryable after the fact"
+    // (the r5 verdict's no-silent-caps bar), same mechanics as `_lineage`
+    graft.spark.Coverage.persist(spark, io, io.sidecar(out, "coverage"))
     if (preexisting.isEmpty) spark.stop()
   }
 

@@ -314,6 +314,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(new java.io.File(out).listFiles()
         .count(f => f.isFile && f.getName.endsWith(".parquet")) == 2)
       assert(Coverage.latest("submit_compact").exists(_.status == "ok"))
+      // the registry is PERSISTED beside the sink on the deployment path
+      val covTbl = spark.read.parquet(out + "/_coverage")
+      assert(covTbl.filter(org.apache.spark.sql.functions.col("query") === "submit_compact")
+        .count() >= 1, "coverage sidecar missing the compaction row")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
