@@ -364,6 +364,28 @@ object Queries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Session-scoped cache of the resolved duplicate clusters (the
+    * pair-graph fixpoint is iterative — computed once per corpus
+    * snapshot, like the signature tables).
+    */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Duplicate-cluster resolution: the d11 near-dup PAIRS resolved into
+    * connected components with a canonical smallest-id keeper
+    * ([[graft.spark.Dedup.dupClusters]] — min-label propagation to a
+    * fixpoint; dup components are near-cliques so 2–3 iterations
+    * converge). This is the step that turns pair emission into an
+    * actionable dedup decision: `doc_id != cluster_id` ⇒ drop. The DuckDB
+    * oracle replays the full chain — fingerprints → banding → cap →
+    * pairs → a RECURSIVE transitive closure — so the check is
+    * rows+schema+hash.
+    */
+  def d15_dup_clusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
+        graft.spark.Dedup.dupClusters(
+          graft.spark.Dedup.simhashPairsFromSigs(simhashSigs(s, dir), maxBucketSize = d11Cap)))
+      .orderBy($"doc_id")
+
   /** Whitespace-token word array of a document — the shared tokenization
     * of the word-level ops (d12/d13), identical to d2's token split.
     */
@@ -715,6 +737,7 @@ object Queries {
     drop(lshCandCache)
     drop(sigCache)
     drop(simhashCache)
+    drop(clusterCache)
     locally {
       val it = ivfCache.entrySet().iterator()
       while (it.hasNext) {
@@ -759,6 +782,7 @@ object Queries {
     "d12_repetition" -> (d12_repetition _),
     "d13_decontaminate" -> (d13_decontaminate _),
     "d14_source_mix" -> (d14_source_mix _),
+    "d15_dup_clusters" -> (d15_dup_clusters _),
     "e1_cosine_topk" -> (e1_cosine_topk _),
     "e2_cosine_lsh" -> (e2_cosine_lsh _),
     "e3_cosine_ivf" -> (e3_cosine_ivf _),
@@ -923,6 +947,30 @@ object Queries {
           |  GROUP BY 1, 2, 3)
           |SELECT doc_a, doc_b, hamming FROM pairs
           |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    "d15_dup_clusters" ->
+      (simhashFpCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """,
+          |bands AS (
+          |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bval
+          |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+          |capped AS (
+          |  SELECT doc_id, simhash, band, bval FROM bands
+          |  QUALIFY count(*) OVER (PARTITION BY band, bval) <= 256),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM capped a JOIN capped b
+          |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |  GROUP BY 1, 2),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "d12_repetition" ->
       """WITH admitted AS (
         |  SELECT * FROM documents WHERE n_chars <= 1000000),

@@ -573,4 +573,65 @@ object Dedup {
       .distinct() // a pair may agree on several bands
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Resolve a duplicate-PAIR table into duplicate CLUSTERS with a
+    * canonical keeper — the step that turns any of the pair emitters
+    * (MinHash-LSH d7, cosine d10, SimHash d11) into an actionable dedup
+    * decision: every document in a connected component of the pair graph
+    * maps to `cluster_id` = the smallest doc id in its component, and the
+    * keeper is the doc that IS its own cluster_id (smallest-id keeper —
+    * deterministic, the same tie-break every other operator here uses).
+    *
+    * Algorithm: undirected min-label propagation to a fixpoint. Dup
+    * components are near-cliques (every member pairs with most others),
+    * so the graph diameter — the iteration bound — is 2–3 in practice;
+    * `maxIters` is a loud safety valve, not a silent truncation (it
+    * throws, never returns a half-converged labeling). Each iteration is
+    * one join + one agg keyed on doc id (map-side combined); no
+    * all-pairs stage, no driver-side graph. At 10^12 docs the pair table
+    * is the small side (dup fraction × corpus), which is what makes the
+    * iterate-to-fixpoint affordable.
+    *
+    * Output: (doc_id, cluster_id) for every doc APPEARING IN A PAIR;
+    * singleton docs are absent (their cluster is themselves — joining
+    * them in would just append the identity mapping corpus-wide).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    // undirected edge list + self-loops: label(v) = min over N(v) ∪ {v}
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint() // reused every iteration; also cuts the pair-emitter plan off the loop
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    // localCheckpoint, not persist: each iteration references the previous
+    // labels TWICE (join + union), so without truncating the lineage the
+    // logical plan doubles per iteration — O(2^iters) analysis/explain blowup
+    // long before any data is large. Eager checkpointing bounds the plan at
+    // one iteration. (A durable `spark.sparkContext.setCheckpointDir` +
+    // .checkpoint() is the fault-tolerant production variant; the fixpoint
+    // loop is identical.)
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = edges.join(labels.withColumnRenamed("doc_id", "dst")
+            .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("nbr_label"))
+        .union(labels.select(col("doc_id"), col("label").as("nbr_label")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("nbr_label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter(col("label") =!= col("old_label"))
+        .limit(1).count() // any-change probe: stops at the first hit
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged)
+      sys.error(s"dupClusters: not converged after $maxIters iterations — " +
+        "pair graph has pathological diameter; raise maxIters explicitly")
+    labels.withColumnRenamed("label", "cluster_id")
+  }
 }

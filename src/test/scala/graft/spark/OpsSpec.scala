@@ -555,6 +555,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.Queries.releaseCaches(s)
   }
 
+  test("dup clusters: min-label propagation resolves components, keeper = smallest id, converges on chains") {
+    val s = spark
+    import s.implicits._
+    // two components (a triangle-ish one and a pair) from a hand pair set
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
+    // worst-case diameter: a pure chain 0-1-2-...-9 (no clique shortcuts)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainGot = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot == (0L to 9L).map(_ -> 0L).toMap, chainGot.toString)
+    // empty pair set → empty clustering (singletons are implicit)
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    // the safety valve throws rather than returning a half-converged labeling
+    val e = intercept[RuntimeException](Dedup.dupClusters(chain, maxIters = 2))
+    assert(e.getMessage.contains("not converged"), e.getMessage)
+  }
+
   test("word ops: d12 repetition fractions and d13 benchmark contamination match hand-computed values") {
     val s = spark
     import s.implicits._
