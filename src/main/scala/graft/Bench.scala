@@ -41,7 +41,9 @@ object Bench {
     // consumer runs first and reused by the rest — read those per-query
     // numbers as a group, not in isolation.
     val note = "first consumer absorbs shared artifact cost: " +
-      "{x1,x2}=extracted corpus, {d7,d8}=LSH candidates, {d10,e2}=signature table"
+      "{x1,x2}=extracted corpus, {d7,d8}=LSH candidates, {d10,e2}=signature table, " +
+      "{d9,d11,d15}=simhash fingerprints, d15 rep1 also builds the cluster fixpoint, " +
+      "e3 rep1 builds the k-means index"
     val metricLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","shared_cost":"$note"}"""
     Queries.releaseCaches(spark)
