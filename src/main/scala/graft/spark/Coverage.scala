@@ -58,9 +58,14 @@ object Coverage {
     row
   }
 
-  /** Everything recorded in this JVM so far, as a queryable DataFrame.
-    * Built with an explicit schema (the scala-2.13 reflection encoder
-    * trips a RefinedType MatchError on this shape under Spark 4).
+  /** Everything recorded in this JVM so far, as a queryable DataFrame —
+    * FLATTENED to one (query, kind, status, recorded_at, metric, value)
+    * row per metric. The earlier `metrics: Map[String,Double]` column made
+    * the persisted `_coverage` sidecar unreadable to flat-table consumers
+    * (the round-6 correctness driver's pandas sort crashed on the
+    * unhashable map values); scalar columns keep the registry queryable
+    * by ANY reader. Built with an explicit schema (the scala-2.13
+    * reflection encoder trips a RefinedType MatchError under Spark 4).
     */
   def table(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -69,12 +74,16 @@ object Coverage {
       StructField("kind", StringType),
       StructField("status", StringType),
       StructField("recorded_at", TimestampType),
-      StructField("metrics", MapType(StringType, DoubleType))))
+      StructField("metric", StringType),
+      StructField("value", DoubleType)))
     val rows = new java.util.ArrayList[Row]()
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
-      rows.add(Row(e.query, e.kind, e.status, e.recorded_at, e.metrics))
+      // deterministic metric order within an entry (map order is not)
+      e.metrics.toSeq.sortBy(_._1).foreach { case (m, v) =>
+        rows.add(Row(e.query, e.kind, e.status, e.recorded_at, m, v))
+      }
     }
     spark.createDataFrame(rows, schema)
   }

@@ -200,28 +200,34 @@ object Dedup {
     * The window count and the join shuffle on the same (band, bucket) key,
     * so the cap adds no extra shuffle of the signatures.
     */
+  /** Repartition a CPU-bound input up to the session's parallelism when the
+    * plan would otherwise supply too few tasks. The signature/fingerprint
+    * steps cost ~100× the scan per byte, so their parallelism must come
+    * from partition COUNT, not byte count: a small corpus arrives as a
+    * single row-group (one scan task) and would run the whole hash family
+    * on one core. Spread ONLY in that case — at 100 TB the scan itself
+    * supplies thousands of tasks and the repartition is a no-op branch,
+    * never a full-corpus shuffle.
+    *
+    * Plan-level partition count: toRdd is the physical plan's RDD handle
+    * (no job, no row-decode lineage — unlike DataFrame.rdd, which plans a
+    * deserialize-to-external-row stage just to be asked its count).
+    */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val spread = math.max(spark.sparkContext.defaultParallelism * 2,
+      spark.sessionState.conf.numShufflePartitions)
+    val planParts = df.queryExecution.toRdd.getNumPartitions
+    if (planParts < spread) df.repartition(spread) else df
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 5, nHashes: Int = 16,
       rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // The signature step is CPU-bound at ~100× the scan cost per byte, so
-    // its parallelism must come from partition COUNT, not byte count: a
-    // small corpus arrives as a single row-group (one scan task) and would
-    // run the whole md5 family on one core. Spread ONLY in that case — at
-    // 100 TB the scan itself supplies thousands of tasks and a text
-    // repartition would be a pointless full-corpus shuffle.
-    val spread = math.max(spark.sparkContext.defaultParallelism * 2,
-      spark.sessionState.conf.numShufflePartitions)
-    val projected = docs
-      .select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-    // plan-level partition count: toRdd is the physical plan's RDD handle
-    // (no job, no row-decode lineage — unlike DataFrame.rdd, which plans a
-    // deserialize-to-external-row stage just to be asked its count)
-    val planParts = projected.queryExecution.toRdd.getNumPartitions
-    val prepared =
-      if (planParts < spread) projected.repartition(spread)
-      else projected
+    val prepared = spreadIfNarrow(docs
+      .select(col(idCol).cast("string").as("id"), col(textCol).as("text")))
     val sig = prepared
       .as[(String, String)]
       .mapPartitions { it =>
@@ -230,17 +236,50 @@ object Dedup {
             .iterator.zipWithIndex.map { case (bucket, band) => (id, band, bucket) }
         }
       }
-      .toDF("id", "band", "bucket")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-    val capped = sig
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = capped.select(col("id").as("doc_a"), col("band"), col("bucket"))
-    val b = capped.select(col("id").as("doc_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // Cap + pair emission as ONE streamed group pass, replacing the former
+    // count(*) OVER (band, bucket) window + bucket self-join: the window
+    // sort-shuffled the full exploded signature table and the join
+    // re-exchanged it, all to (a) drop oversize buckets and (b) pair up
+    // bucket members. flatMapGroups does both in the window's own
+    // (band, bucket) exchange — values stream through the group iterator,
+    // the buffer holds at most cap+1 ids (a degenerate bucket is detected
+    // and dropped after cap+1 rows WITHOUT materializing it — stricter
+    // memory behavior than the window, which buffered whole frames), and
+    // ordered pairs are emitted directly. Orientation mirrors Catalyst's
+    // string `<` (UTF8String binary order), so results are identical; the
+    // oracle keeps replaying the cap with the QUALIFY window form.
+    val cap = maxBucketSize
+    val pairs = sig.as[(String, Int, String)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          buf += it.next()._1
+          if (buf.length > cap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val arr = buf.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+            arr.length * (arr.length - 1) / 2)
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              val cmp = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i))
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(arr(j)))
+              if (cmp < 0) out += ((arr(i), arr(j)))
+              else if (cmp > 0) out += ((arr(j), arr(i)))
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_a", "doc_b")
+    pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -453,12 +492,18 @@ object Dedup {
     out
   }
 
-  /** Portable SimHash fingerprints for a whole table, typed-layer hot path. */
+  /** Portable SimHash fingerprints for a whole table, typed-layer hot path.
+    * The md5-per-token pass is CPU-bound (~1 µs/token), so the input is
+    * spread across the session's cores when the scan supplies too few
+    * tasks ([[spreadIfNarrow]] — a 5000-doc corpus otherwise runs ~6 s of
+    * hashing on ONE core because the parquet table is a single row group).
+    */
   def simhashPortableDf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(requireLongId(col(idCol), "simhashPortableDf").as("id"), col(textCol).as("text"))
+    spreadIfNarrow(
+      docs.select(requireLongId(col(idCol), "simhashPortableDf").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, simhashPortableJvm(Option(text).getOrElse("")))
@@ -551,27 +596,57 @@ object Dedup {
       maxBucketSize: Int = 256, idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < nBands,
       s"pigeonhole completeness needs maxHamming < nBands (got $maxHamming ≥ $nBands)")
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val keys = simhashBandKeys(sigs, nBands, idCol)
-    // degenerate-band cap WITHOUT the window: a count(*) OVER
-    // (PARTITION BY band, bval) sort-shuffles the full exploded key table,
-    // exactly the shuffle the 10^12-scale notes forbid. Band sizes
-    // aggregate map-side to a bounded group count (≤ distinct (band, bval)
-    // values), the oversize set broadcasts, and an anti-join drops those
-    // keys — mirroring [[Ann.cosineDupPairsCandidates]]; results identical
-    // (the oracle keeps replaying the cap with the QUALIFY window form).
-    val oversized = keys.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select(col("band"), col("bval"))
-    val capped = keys.join(broadcast(oversized), Seq("band", "bval"), "left_anti")
-    val a = capped.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"), col("band"), col("bval"))
-    val b = capped.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"), col("band"), col("bval"))
-    a.join(b, Seq("band", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
-      .distinct() // a pair may agree on several bands
-      .filter(col("hamming") <= maxHamming)
+    // Cap + candidate pairing + Hamming verify as ONE streamed group pass
+    // (see [[minhashLshPairs]] for the full rationale): the former
+    // (band, bval) equi-self-join + pair distinct exchanged the key table
+    // twice and shuffled EVERY bucket pair before the popcount filter;
+    // here each (band, bval) group streams through an iterator with an
+    // O(cap) buffer — a degenerate band is dropped after cap+1 rows
+    // without materializing — and only pairs already within
+    // `maxHamming` are emitted, so the final dedup exchange carries the
+    // near-dup set, not the candidate set. Results identical (the oracle
+    // keeps replaying cap + join + QUALIFY).
+    val cap = maxBucketSize
+    val maxH = maxHamming
+    val pairs = keys
+      .select(requireLongId(col(idCol), "simhashPairsFromSigs"), col("simhash"),
+        col("band"), col("bval"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey { case (_, _, band, bval) => (band, bval) }
+      .flatMapGroups { (_, it) =>
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        val sigBuf = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val row = it.next()
+          ids += row._1
+          sigBuf += row._2
+          if (ids.length > cap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var i = 0
+          while (i < ids.length) {
+            var j = i + 1
+            while (j < ids.length) {
+              val h = java.lang.Long.bitCount(sigBuf(i) ^ sigBuf(j))
+              if (h <= maxH) {
+                if (ids(i) < ids(j)) out += ((ids(i), ids(j), h.toLong))
+                else if (ids(j) < ids(i)) out += ((ids(j), ids(i), h.toLong))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+    pairs.distinct() // a pair may agree on several bands
   }
 
   /** Resolve a duplicate-PAIR table into duplicate CLUSTERS with a
@@ -597,11 +672,51 @@ object Dedup {
     * them in would just append the identity mapping corpus-wide).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 20,
+      maxDriverPairs: Long = 1L << 21): DataFrame = {
     // undirected edge list + self-loops: label(v) = min over N(v) ∪ {v}
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint() // reused every iteration; also cuts the pair-emitter plan off the loop
+    // Small-graph fast path: the distributed fixpoint costs several Spark
+    // jobs PER ITERATION (join + agg + checkpoint + probe), which dwarfs
+    // the data whenever the pair graph is modest — and dup-pair graphs are
+    // the SMALL side of a dedup by construction (dup fraction × corpus).
+    // Below `maxDriverPairs` edges (~32 MB of longs at the default, the
+    // same bounded-driver contract as [[Ann.cosineDupPairs]]'s maxRows),
+    // collect the edge list and run union-find on the driver: connected
+    // components with min-id labels — EXACTLY the fixpoint's semantics, so
+    // results are identical; past the bound the scale-correct iterative
+    // path below runs unchanged (spec-covered either way).
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    // (long-id graphs only — the generic-typed iterative path below serves
+    // anything else; every pair emitter in this engine uses long ids)
+    if (longIds && edges.count() <= maxDriverPairs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+        case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // min-id union keeps every root the smallest id of its component
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val v = it.next(); out += ((v, find(v))) }
+      return out.toSeq.toDF("doc_id", "cluster_id")
+    }
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     // localCheckpoint, not persist: each iteration references the previous
     // labels TWICE (join + union), so without truncating the lineage the
@@ -611,6 +726,17 @@ object Dedup {
     // .checkpoint() is the fault-tolerant production variant; the fixpoint
     // loop is identical.)
     var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+    // convergence probe: label(v) = min over N(v) ∪ {v} can only DECREASE
+    // pointwise, so the labeling changed iff Σ label strictly dropped — one
+    // map-side-combined agg over the checkpointed table instead of the
+    // former equi-join + filter + limit probe (a join per iteration).
+    // DECIMAL(38) sum: exact at any corpus size (a long sum of 10^12
+    // 60-bit ids would overflow).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -621,12 +747,11 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("nbr_label")).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter(col("label") =!= col("old_label"))
-        .limit(1).count() // any-change probe: stops at the first hit
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     if (!converged)

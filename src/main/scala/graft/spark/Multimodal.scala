@@ -65,7 +65,9 @@ object Multimodal {
   def syntheticMediaFromDocs(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id")(implicit spark: SparkSession): Dataset[MediaObject] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("string")).as[String].flatMap { idStr =>
+    // the md5-chain payload synthesis is CPU-bound: spread a single-row-
+    // group doc table across the session's cores (no-op at scale)
+    Dedup.spreadIfNarrow(docs.select(col(idCol).cast("string"))).as[String].flatMap { idStr =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def md5hex(s: String): String =
         md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -87,6 +87,79 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.count() == 45)
   }
 
+  test("streamed group-pass pair emitters are result-identical to the window-cap join formulation") {
+    // r7 optimization: minhashLshPairs / simhashPairsFromSigs replaced the
+    // (band, bucket) window cap + equi-self-join with one flatMapGroups
+    // pass; this pins result identity against the former formulation
+    // (which the DuckDB oracle still replays as QUALIFY + join)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val corpus = docsDf.union(
+      (10L to 40L).map(i => (i, s"filler doc $i with shared chrome boilerplate text"))
+        .toDF("doc_id", "text"))
+    for (cap <- Seq(2, 256)) {
+      // d7 reference: window cap + self-join over the same JVM bucket hashes
+      val sig = corpus.select($"doc_id".cast("string").as("id"), $"text")
+        .as[(String, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          Dedup.bucketHashesJvm(Option(text).getOrElse(""), 5, 16, 4)
+            .iterator.zipWithIndex.map { case (bucket, band) => (id, band, bucket) }
+        }).toDF("id", "band", "bucket")
+      val w = Window.partitionBy($"band", $"bucket")
+      val capped = sig.withColumn("n", count(lit(1)).over(w)).filter($"n" <= cap).drop("n")
+      val ref = capped.select($"id".as("doc_a"), $"band", $"bucket")
+        .join(capped.select($"id".as("doc_b"), $"band", $"bucket"), Seq("band", "bucket"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared_bands"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val got = Dedup.minhashLshPairs(corpus, maxBucketSize = cap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == ref, s"cap=$cap: got=${got.size} ref=${ref.size}")
+      // d11 reference: window cap + self-join over the band keys
+      val sigs = Dedup.simhashPortableDf(corpus)
+      val keys = Dedup.simhashBandKeys(sigs)
+      val kcapped = keys.withColumn("n", count(lit(1)).over(Window.partitionBy($"band", $"bval")))
+        .filter($"n" <= cap).drop("n")
+      val ref11 = kcapped.select($"doc_id".as("doc_a"), $"simhash".as("sig_a"), $"band", $"bval")
+        .join(kcapped.select($"doc_id".as("doc_b"), $"simhash".as("sig_b"), $"band", $"bval"),
+          Seq("band", "bval"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long").as("hamming"))
+        .distinct().filter($"hamming" <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got11 = Dedup.simhashPairsFromSigs(sigs, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got11 == ref11, s"cap=$cap: got=${got11.size} ref=${ref11.size}")
+    }
+  }
+
+  test("d10 broadcast-map scorer is result-identical to the join-path scorer") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (1L to 120L).map { i =>
+      // clustered pairs so some cosines clear the threshold
+      val base = Array.fill(16)(rng.nextGaussian())
+      val v = if (i % 3 == 0) base.map(_ + rng.nextGaussian() * 0.05)
+        else Array.fill(16)(rng.nextGaussian())
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val sig = Ann.signatureTable(vecs, nTables = 16, nBits = 8).persist()
+    try {
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaJoin = collect(Ann.cosineDupPairsFromSignatures(sig, threshold = 0.4,
+        bucketBits = 3, broadcastVectors = false))
+      val viaBroadcast = collect(Ann.cosineDupPairsFromSignatures(sig, threshold = 0.4,
+        bucketBits = 3, broadcastVectors = true))
+      assert(viaJoin == viaBroadcast, s"join=${viaJoin.size} bc=${viaBroadcast.size}")
+      assert(viaBroadcast.nonEmpty, "test corpus produced no pairs — not exercising the scorer")
+    } finally sig.unpersist()
+  }
+
   test("simhash: near-dups have small hamming distance") {
     val s = spark
     import s.implicits._
@@ -548,9 +621,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getAs[String]("status") == "degraded", row.toString)
       assert(row.getAs[Double]("dropped_key_fraction") == 1.0, row.toString)
       assert(Coverage.latest("spec_degraded").exists(_.status == "degraded"))
-      // the registry is queryable as a table (what Verify persists)
+      // the registry is queryable as a table (what Verify persists) —
+      // flattened to one row per metric, scalar columns only (a map column
+      // crashed flat-table consumers of the persisted sidecar)
       val tbl = Coverage.table(s)
-      assert(tbl.filter(col("query") === "spec_degraded" && col("status") === "degraded").count() == 1)
+      assert(!tbl.schema.fields.exists(_.dataType.typeName == "map"), tbl.schema.treeString)
+      val degRows = tbl.filter(col("query") === "spec_degraded" && col("status") === "degraded")
+      assert(degRows.count() >= 1)
+      assert(degRows.filter(col("metric") === "dropped_key_fraction" && col("value") === 1.0).count() == 1)
       assert(tbl.filter(col("query") === "d10_embed_dup").count() >= 1)
     } finally graft.Queries.releaseCaches(s)
   }
@@ -570,8 +648,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chainGot == (0L to 9L).map(_ -> 0L).toMap, chainGot.toString)
     // empty pair set → empty clustering (singletons are implicit)
     assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
-    // the safety valve throws rather than returning a half-converged labeling
-    val e = intercept[RuntimeException](Dedup.dupClusters(chain, maxIters = 2))
+    // the distributed fixpoint (maxDriverPairs = 0 forces it) agrees with
+    // the driver union-find fast path on both shapes
+    for (p <- Seq(pairs, chain)) {
+      val fast = Dedup.dupClusters(p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.dupClusters(p, maxDriverPairs = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"fast=$fast dist=$dist")
+    }
+    // the safety valve throws rather than returning a half-converged
+    // labeling (distributed path — the fast path needs no iterations)
+    val e = intercept[RuntimeException](
+      Dedup.dupClusters(chain, maxIters = 2, maxDriverPairs = 0))
     assert(e.getMessage.contains("not converged"), e.getMessage)
   }
 
