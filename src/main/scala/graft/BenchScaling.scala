@@ -118,7 +118,7 @@ object BenchScaling {
     }
     val detail = ladders.map { case (lo, hi) => (lo, hi, ladderJson(lo, hi)) }
     val rawDetail =
-      if (withRaw) ladders.map { case (lo, hi) => ladderJson(lo, hi, rawRuns)._3 }
+      if (withRaw) ladders.map { case (lo, hi) => ladderJson(lo, hi, rawRuns) }
       else Nil
     val (headEff, headPair, _) = detail.head._3
     // session distribution: the host throttles intermittently (3× swings),
@@ -144,7 +144,18 @@ object BenchScaling {
       s""""history_median":${f"$histMedian%.4f"},""" +
       s""""docs":$nDocs,"parallelism_low":${detail.head._1},"parallelism_high":${detail.head._2},""" +
       s""""ladders":[${detail.map(_._3._3).mkString(",")}]""" +
-      (if (rawDetail.nonEmpty) s""","raw_ladders":[${rawDetail.mkString(",")}]""" else "") +
+      (if (rawDetail.nonEmpty) {
+        // first-class pipeline-vs-raw attribution (so the host-ceiling
+        // vs engine question needs no re-derivation): ratio ≈ 1 means the
+        // pipeline ladder caps exactly where the Spark-free raw probe
+        // caps — the residual is the host's shared memory controller,
+        // not the engine or the Spark layer
+        val ratios = detail.zip(rawDetail).map { case ((_, _, (pEff, _, _)), (rEff, _, _)) =>
+          f"${if (rEff > 0) pEff / rEff else 0.0}%.4f"
+        }
+        s""","raw_ladders":[${rawDetail.map(_._3).mkString(",")}],""" +
+        s""""pipeline_over_raw_efficiency":[${ratios.mkString(",")}]"""
+      } else "") +
       "}"
     println(json)
     Files.createDirectories(Paths.get("BENCH"))

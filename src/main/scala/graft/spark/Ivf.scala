@@ -160,37 +160,62 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      // one map-only assignment pass; the only shuffle is the partial-sum
-      // agg, map-side combined to ≤ nLists×dims rows per partition
-      val sums = pos.as[(Long, Seq[Double])]
+      // One map-only assignment pass with the partial sums COMBINED INSIDE
+      // the partition (long[nLists][dims] accumulators, one emitted row per
+      // non-empty list per partition) — the former posexplode → groupBy
+      // shuffled nRows×dims exploded rows per iteration where a bounded
+      // nPartitions×nLists×dims driver reduce suffices. Integer sums are
+      // exact and order-independent, so partition-then-driver summation is
+      // bit-identical to the single groupBy (the property the replayed
+      // oracle relies on).
+      val partials = pos.as[(Long, Seq[Double])]
         .mapPartitions { rows =>
           val cs = bc.value
-          rows.map { case (_, vseq) =>
+          val sums = new java.util.HashMap[Int, (Array[Long], Array[Long])]()
+          rows.foreach { case (_, vseq) =>
             val v = vseq.toArray
             val nrm = math.sqrt(dotJvm(v, v))
-            val q = new Array[Long](v.length)
+            val listId = assignJvm(v, nrm, cs)
+            var acc = sums.get(listId)
+            if (acc == null) {
+              acc = (new Array[Long](v.length), new Array[Long](1))
+              sums.put(listId, acc)
+            }
             var i = 0
             while (i < v.length) {
-              q(i) = math.floor(v(i) * QuantScale + 0.5).toLong
+              acc._1(i) += math.floor(v(i) * QuantScale + 0.5).toLong
               i += 1
             }
-            (assignJvm(v, nrm, cs), q.toSeq)
+            acc._2(0) += 1L
           }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long], Long)]
+          val kit = sums.entrySet().iterator()
+          while (kit.hasNext) {
+            val e = kit.next()
+            out += ((e.getKey, e.getValue._1.toSeq, e.getValue._2(0)))
+          }
+          out.iterator
         }
-        .toDF("list_id", "q")
-        .select(col("list_id"), posexplode(col("q")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
-        .collect() // bounded by nLists × dims rows — small by contract
-      val byList = sums.groupBy(_.getInt(0))
+        .collect() // ≤ nPartitions × nLists rows — small by contract
+      val byList = partials.groupBy(_._1)
       cents = cents.map { c =>
         byList.get(c.listId) match {
           case None => c // empty list keeps its centroid (oracle: LEFT JOIN + COALESCE)
           case Some(rows) =>
-            val nv = new Array[Double](c.cv.length)
-            rows.foreach { r =>
+            val dims = c.cv.length
+            val sq = new Array[Long](dims)
+            var n = 0L
+            rows.foreach { case (_, qs, cnt) =>
+              var i = 0
+              while (i < dims && i < qs.length) { sq(i) += qs(i); i += 1 }
+              n += cnt
+            }
+            val nv = new Array[Double](dims)
+            var i = 0
+            while (i < dims) {
               // exact integers → one IEEE division: engine-portable bits
-              nv(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * QuantScale)
+              nv(i) = sq(i).toDouble / (n.toDouble * QuantScale)
+              i += 1
             }
             val nn = math.sqrt(dotJvm(nv, nv))
             if (nn == 0.0) c else Centroid(c.listId, nv, nn)
