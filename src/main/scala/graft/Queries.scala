@@ -70,9 +70,18 @@ object Queries {
     val enc = org.apache.spark.sql.Encoders.product[graft.spark.Doc]
     val n = corpusSize(dir)
     val nParts = 32
-    val all = graft.spark.Corpus.generate(s, n)
     // lineage table of a prior run that finished part_keys 0..15
+    val doneKeys = 0L until (nParts / 2).toLong
     val doneLineage = s.range(nParts / 2).select(col("id").as("part_key"))
+    // Generation-side twin of the resume predicate: docs in completed
+    // buckets would be synthesized (the expensive step) only for
+    // resumeFilter to drop them — prune them BEFORE docHtml via the same
+    // partKey-over-doc_id predicate. resumeFilter still runs below (the
+    // registered resume surface, and the correctness guard: it drops
+    // nothing extra, so output rows are identical to an unpruned run).
+    val all = graft.spark.Corpus.generate(s, n, idFilter = id =>
+      !graft.spark.Lineage.partKey(graft.spark.Corpus.docIdCol(id), nParts)
+        .isInCollection(doneKeys))
     val remaining = graft.spark.Lineage.resumeFilter(all.toDF(), doneLineage, nParts)
       .as[graft.spark.Doc](enc)
     graft.spark.Pipeline.extract(remaining)
@@ -454,6 +463,10 @@ object Queries {
     if (cov.getAs[String]("status") != "ok")
       System.err.println(s"[$query] WARNING: doc-length gate dropped " +
         s"${cov.getAs[Long]("n_gated")} docs — see the recorded coverage row")
+    // NOTE (measured, r7): spreading this scan across cores — round-robin
+    // OR hash repartition — is SLOWER under the bench's count() action at
+    // every tested SF (the text exchange costs more than the parallelized
+    // explode saves); the single-row-group scan stays as-is on purpose.
     docs.filter(col("n_chars") <= wordOpsMaxChars)
   }
 

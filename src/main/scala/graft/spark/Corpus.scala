@@ -129,13 +129,34 @@ object Corpus {
     (html, Spans.decomposeHtml(html))
   }
 
-  /** Distributed deterministic generation. */
+  /** The generated doc id for index `i` — single source of truth for the
+    * typed generation below and for Catalyst-side id derivations (e.g. a
+    * pre-generation resume filter needs the same string).
+    */
+  def docId(i: Long): String = f"doc_$i%012d"
+
+  /** [[docId]] as a Catalyst column over the range index (same JVM, same
+    * `java.util.Formatter` semantics as the f-interpolator).
+    */
+  def docIdCol(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.format_string("doc_%012d", i)
+
+  /** Distributed deterministic generation. `idFilter` (over the range
+    * index) prunes docs BEFORE the expensive html synthesis — a caller
+    * that would drop a deterministic subset anyway (e.g. a resume filter
+    * over completed buckets) can skip building it; the surviving docs are
+    * byte-identical to an unfiltered run's.
+    */
   def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
-      oversizeFraction: Double = 0.001, nPartitions: Int = 32): Dataset[Doc] = {
+      oversizeFraction: Double = 0.001, nPartitions: Int = 32,
+      idFilter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ => org.apache.spark.sql.functions.lit(true)): Dataset[Doc] = {
     import spark.implicits._
-    spark.range(0, nDocs, 1, nPartitions).map { i =>
-      val (_, spans) = docHtml(seed, i, oversizeFraction)
-      Doc(f"doc_$i%012d", spans)
-    }
+    spark.range(0, nDocs, 1, nPartitions)
+      .filter(idFilter(org.apache.spark.sql.functions.col("id")))
+      .map { i =>
+        val (_, spans) = docHtml(seed, i, oversizeFraction)
+        Doc(docId(i), spans)
+      }
   }
 }

@@ -160,6 +160,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sig.unpersist()
   }
 
+  test("x3 generation-side resume pruning is output-identical to filtering the full corpus") {
+    val s = spark
+    // r7 optimization: x3 prunes completed buckets BEFORE docHtml; the
+    // surviving extraction output must match the unpruned construction
+    val nParts = 32
+    val doneLineage = s.range(nParts / 2).select(org.apache.spark.sql.functions.col("id").as("part_key"))
+    val enc = org.apache.spark.sql.Encoders.product[Doc]
+    def rows(pruned: Boolean) = {
+      val all =
+        if (pruned) Corpus.generate(s, 100, idFilter = id =>
+          !Lineage.partKey(Corpus.docIdCol(id), nParts)
+            .isInCollection(0L until (nParts / 2).toLong))
+        else Corpus.generate(s, 100)
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Pipeline.extract(
+          Lineage.resumeFilter(all.toDF(), doneLineage, nParts).as[Doc](enc))
+        .select("doc_id", "status", "text_length").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    }
+    val p = rows(pruned = true)
+    val u = rows(pruned = false)
+    assert(p == u, s"pruned=${p.size} unpruned=${u.size}")
+    assert(p.nonEmpty)
+  }
+
   test("simhash: near-dups have small hamming distance") {
     val s = spark
     import s.implicits._
