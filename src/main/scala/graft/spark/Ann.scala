@@ -239,7 +239,11 @@ object Ann {
       bucketBits: Int, maxBucketSize: Int): DataFrame = {
     val spark = sigTable.sparkSession
     import spark.implicits._
+    // null vec_ids can never appear in an emitted pair (the join path's
+    // equi-joins drop them); exclude them from the map rather than crash
+    // the non-nullable encoder
     val vecRows = sigTable.select(col("vec_id"), col("v"), col("norm"))
+      .filter(col("vec_id").isNotNull)
       .as[(Long, Seq[Double], Double)].collect()
     val vmap = new java.util.HashMap[java.lang.Long, (Array[Double], Double)](vecRows.length * 2)
     vecRows.foreach { case (id, v, n) => vmap.put(id, (v.toArray, n)) }
@@ -252,11 +256,13 @@ object Ann {
     val margin = threshold - 1e-3
     val cap = maxBucketSize
     val scored = bucketKeys(sigTable, bucketBits)
-      .as[(Long, Long)]
+      // boxed id: a null vec_id counts toward the cap (its key rows exist)
+      // but pairs with nothing — mirroring the join path's null semantics
+      .as[(java.lang.Long, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
         val m = bc.value
-        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        val ids = new scala.collection.mutable.ArrayBuffer[java.lang.Long](16)
         var overflow = false
         while (it.hasNext && !overflow) {
           ids += it.next()._1
@@ -267,7 +273,7 @@ object Ann {
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
           var i = 0
           while (i < ids.length) {
-            val va = m.get(ids(i))
+            val va = if (ids(i) == null) null else m.get(ids(i))
             if (va != null && va._2 > 0.0) {
               var j = i + 1
               while (j < ids.length) {

@@ -80,8 +80,12 @@ object Coverage {
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
-      // deterministic metric order within an entry (map order is not)
-      e.metrics.toSeq.sortBy(_._1).foreach { case (m, v) =>
+      // deterministic metric order within an entry (map order is not); an
+      // entry with NO numeric metrics still gets one (null, null) row so a
+      // status-only record never vanishes from the persisted sidecar
+      if (e.metrics.isEmpty)
+        rows.add(Row(e.query, e.kind, e.status, e.recorded_at, null, null))
+      else e.metrics.toSeq.sortBy(_._1).foreach { case (m, v) =>
         rows.add(Row(e.query, e.kind, e.status, e.recorded_at, m, v))
       }
     }

@@ -253,25 +253,35 @@ object Dedup {
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroups { (_, it) =>
         val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+        // converted ONCE per member at buffering time, not per comparison
+        val u8 = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.unsafe.types.UTF8String](16)
         var overflow = false
         while (it.hasNext && !overflow) {
-          buf += it.next()._1
+          val id = it.next()._1
+          buf += id
+          // fromString(null) = null; null ids count toward the cap (the
+          // window counted their rows too) but pair with nothing — the
+          // former `doc_a < doc_b` filter null-propagated them away
+          u8 += org.apache.spark.unsafe.types.UTF8String.fromString(id)
           if (buf.length > cap) overflow = true
         }
         if (overflow) Iterator.empty
         else {
-          val arr = buf.toArray
           val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
-            arr.length * (arr.length - 1) / 2)
+            buf.length * (buf.length - 1) / 2)
           var i = 0
-          while (i < arr.length) {
-            var j = i + 1
-            while (j < arr.length) {
-              val cmp = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i))
-                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(arr(j)))
-              if (cmp < 0) out += ((arr(i), arr(j)))
-              else if (cmp > 0) out += ((arr(j), arr(i)))
-              j += 1
+          while (i < buf.length) {
+            if (u8(i) != null) {
+              var j = i + 1
+              while (j < buf.length) {
+                if (u8(j) != null) {
+                  val cmp = u8(i).compareTo(u8(j))
+                  if (cmp < 0) out += ((buf(i), buf(j)))
+                  else if (cmp > 0) out += ((buf(j), buf(i)))
+                }
+                j += 1
+              }
             }
             i += 1
           }
@@ -614,10 +624,14 @@ object Dedup {
     val pairs = keys
       .select(requireLongId(col(idCol), "simhashPairsFromSigs"), col("simhash"),
         col("band"), col("bval"))
-      .as[(Long, Long, Int, Long)]
+      // boxed id: a null doc_id historically flowed to the pair stage and
+      // was dropped by the null-propagating `doc_a < doc_b` filter — keep
+      // that behavior (count toward the cap, pair with nothing) instead of
+      // crashing the non-nullable encoder
+      .as[(java.lang.Long, Long, Int, Long)]
       .groupByKey { case (_, _, band, bval) => (band, bval) }
       .flatMapGroups { (_, it) =>
-        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        val ids = new scala.collection.mutable.ArrayBuffer[java.lang.Long](16)
         val sigBuf = new scala.collection.mutable.ArrayBuffer[Long](16)
         var overflow = false
         while (it.hasNext && !overflow) {
@@ -631,14 +645,20 @@ object Dedup {
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
           var i = 0
           while (i < ids.length) {
-            var j = i + 1
-            while (j < ids.length) {
-              val h = java.lang.Long.bitCount(sigBuf(i) ^ sigBuf(j))
-              if (h <= maxH) {
-                if (ids(i) < ids(j)) out += ((ids(i), ids(j), h.toLong))
-                else if (ids(j) < ids(i)) out += ((ids(j), ids(i), h.toLong))
+            if (ids(i) != null) {
+              val a = ids(i).longValue()
+              var j = i + 1
+              while (j < ids.length) {
+                if (ids(j) != null) {
+                  val b = ids(j).longValue()
+                  val h = java.lang.Long.bitCount(sigBuf(i) ^ sigBuf(j))
+                  if (h <= maxH) {
+                    if (a < b) out += ((a, b, h.toLong))
+                    else if (b < a) out += ((b, a, h.toLong))
+                  }
+                }
+                j += 1
               }
-              j += 1
             }
             i += 1
           }

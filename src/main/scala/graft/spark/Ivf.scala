@@ -181,6 +181,12 @@ object Ivf {
               acc = (new Array[Long](v.length), new Array[Long](1))
               sums.put(listId, acc)
             }
+            // uniform dims are the documented corpus contract (see object
+            // doc); fail loudly on violation instead of silently averaging
+            // ragged vectors or overrunning the accumulator
+            require(v.length == acc._1.length,
+              s"Ivf.kmeansModel: mixed vector dims in list $listId " +
+                s"(${acc._1.length} vs ${v.length}) — corpus violates the uniform-dims contract")
             var i = 0
             while (i < v.length) {
               acc._1(i) += math.floor(v(i) * QuantScale + 0.5).toLong

@@ -160,6 +160,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sig.unpersist()
   }
 
+  test("pair emitters tolerate null ids: counted toward the cap, paired with nothing") {
+    // the former window + `doc_a < doc_b` formulations null-propagated
+    // null-id docs out of the pair set; the streamed group passes must
+    // preserve that instead of crashing (review finding, r7)
+    val s = spark
+    import s.implicits._
+    val withNull = docsDf.union(
+      Seq((null.asInstanceOf[java.lang.Long], "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val got = Dedup.minhashLshPairs(withNull).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val base = Dedup.minhashLshPairs(docsDf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == base, s"got=$got base=$base")
+    val sigs = Dedup.simhashPortableDf(docsDf)
+      .union(Seq((null.asInstanceOf[java.lang.Long], 123456789L)).toDF("doc_id", "simhash"))
+    val gotSim = Dedup.simhashPairsFromSigs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseSim = Dedup.simhashPairsFromSigs(Dedup.simhashPortableDf(docsDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSim == baseSim, s"got=$gotSim base=$baseSim")
+  }
+
   test("x3 generation-side resume pruning is output-identical to filtering the full corpus") {
     val s = spark
     // r7 optimization: x3 prunes completed buckets BEFORE docHtml; the
