@@ -61,6 +61,10 @@ object BenchExtra {
       "d10_broadcast_path" -> (() => graft.spark.Ann.cosineDupPairsFromSignatures(
         embSigs, threshold = 0.4, bucketBits = 4, maxBucketSize = 4096,
         broadcastVectors = true)),
+      // (an AQE-coalescing probe ran here during r7 — disabling partition
+      // coalescing for the pair-loop shuffle measured neutral, median 1.29
+      // vs 1.12 s, so the group-pass cost is pipeline overhead, not a
+      // single-coalesced-task bottleneck)
       "lsh_candidates_build" -> (() => graft.spark.Dedup.minhashLshPairs(docs)),
       // the pre-r7 window-based degenerate-bucket cap, reconstructed for
       // A/B evidence against the agg + broadcast anti-join cap above
